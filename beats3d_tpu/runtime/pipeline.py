@@ -1,0 +1,232 @@
+"""The fused per-frame inference pipeline — the flagship TPU program.
+
+One depth frame in, fingertip heights out, as a SINGLE jitted XLA program:
+
+    raw uint16 depth (H, W)
+      -> deproject to camera-space points           (ops.points)
+      -> transform into calibrated plane space      (ops.points)
+      -> plane-band filter + missing-pixel cleanup  (ops.points / ops.plane)
+      -> missing-aware gaussian smoothing           (ops.points)
+      -> mipmap shrink -> connected components +
+         left/right hand selection (ON DEVICE)      (ops.components)
+      -> grow + per-hand stencil (+ mirror for the left hand, which is
+         evaluated through the right-hand model)    (ops.points)
+      -> layered decision-forest labeling, both hands BATCHED (N=2)
+      -> per-class mean-shift fingertip modes       (ops.meanshift)
+      -> fingertip height above plane from the RAW depth image
+
+The reference runs this as ~25 individual CUDA kernel launches with a mid-frame
+CPU round trip for connected components and 6 device->host syncs per hand for
+mean shift (3d_bz.py:133-522).  Here the host sees exactly one dispatch and one
+result fetch per frame; everything else is fused by XLA.  The tap-detection
+state machine (HandState) and MIDI emission stay host-side, as in the
+reference.
+
+Reference call stack being reproduced: SURVEY.md §3.1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.layered import LayeredDecisionForest, run_layered
+from ..ops import components, meanshift, points
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static (compile-time) pipeline parameters.  Defaults mirror the
+    reference app's tunables (3d_bz.py:49-65)."""
+
+    height: int = 480
+    width: int = 848
+    labels_reduce: int = 2          # 3d_bz.py:49
+    gauss_sigma: float = 2.0        # 3d_bz.py:56
+    gauss_kernel_size: int = 5      # 3d_bz.py:211
+    depth_mm_level: int = 3         # 3d_bz.py:87
+    mean_shift_rounds: int = 6      # 3d_bz.py:65
+    train_dim_x: int = 848          # 3d_bz.py:74
+    fingertip_label_ids: Tuple[int, ...] = (2, 3, 4, 5, 6)  # 3d_bz.py:113
+
+
+def _fingertip_heights(
+    raw_depth, means, plane_mat, pp, focal_x, focal_y, cfg: PipelineConfig,
+    fingertip_ids,
+):
+    """Sample each fingertip's height above the plane from the RAW depth image
+    (3d_bz.py:503-522): mode pixel * labels_reduce -> raw depth -> deproject ->
+    plane space -> height = -z.  Out-of-image or NaN modes are invalid."""
+    h, w = raw_depth.shape
+    sel = jnp.asarray(fingertip_ids, jnp.int32) - 1  # mean-shift row per tip
+    m = means[sel]  # (F, 2) float32 (x, y)
+    nanmask = jnp.any(jnp.isnan(m), axis=-1)
+    m_safe = jnp.where(jnp.isnan(m), -1.0, m)
+    px = m_safe[:, 0].astype(jnp.int32) * cfg.labels_reduce
+    py = m_safe[:, 1].astype(jnp.int32) * cfg.labels_reduce
+    valid = (~nanmask) & (px >= 0) & (py >= 0) & (px < w) & (py < h)
+    pxc = jnp.clip(px, 0, w - 1)
+    pyc = jnp.clip(py, 0, h - 1)
+    z = raw_depth[pyc, pxc].astype(jnp.float32)
+    X = z * (pxc.astype(jnp.float32) - pp[0]) / focal_x
+    Y = z * (pyc.astype(jnp.float32) - pp[1]) / focal_y
+    pt = jnp.stack([X, Y, z, jnp.ones_like(z)], axis=-1)  # (F, 4)
+    ptp = pt @ plane_mat.T
+    heights = -ptp[:, 2]
+    return heights, valid, jnp.stack([px, py], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "filter_specs", "num_layered_classes"),
+)
+def frame_step(
+    raw_depth: jnp.ndarray,
+    plane_mat: jnp.ndarray,
+    pp: jnp.ndarray,
+    focal_x,
+    focal_y,
+    layer_tables: Tuple,
+    conditions: jnp.ndarray,
+    variances: jnp.ndarray,
+    gauss_kernel: jnp.ndarray,
+    plane_z_threshold,
+    group_min_size,
+    *,
+    cfg: PipelineConfig,
+    filter_specs: Tuple,
+    num_layered_classes: int,
+):
+    """One full frame -> fingertips, as a single XLA program.
+
+    Returns a dict of device arrays:
+      labels (2, H//r, W//r) u16  — per-hand composite labels, right-hand frame
+      means (2, C, 2) f32         — per-hand per-class mean-shift modes
+      heights (2, F) f32          — fingertip heights above plane
+      tip_valid (2, F) bool       — in-image & class-present mask
+      tip_px (2, F, 2) i32        — fingertip pixel coords (full res)
+      g_info (2, 3) f32           — (size, cx, cy) per hand group
+      groups_small (Hs, Ws) u16   — the mipmap-level group stencil
+    """
+    cfgv = cfg
+    h, w = raw_depth.shape
+
+    pts = points.deproject_points(raw_depth, pp, focal_x)
+    q = points.transform_points(pts, plane_mat)
+    qf = points.filter_points_by_plane(q, plane_z_threshold)
+    depth1 = points.remove_missing_3d_points_from_depth_image(qf, raw_depth)
+    depth1 = points.gaussian_depth_filter(depth1, gauss_kernel)
+
+    small = points.shrink_image(depth1, cfgv.depth_mm_level)
+    groups_small, g_info = components.make_hand_groups(small, group_min_size)
+    grown = points.grow_groups(groups_small)
+
+    # Per-hand stencil; the left hand (group 2) is mirrored so the right-hand
+    # model applies (3d_bz.py:406-414), then both hands run BATCHED.
+    d_right = points.stencil_depth_image_by_group(
+        grown, depth1, cfgv.depth_mm_level, 1
+    )
+    d_left = points.flip_x(
+        points.stencil_depth_image_by_group(grown, depth1, cfgv.depth_mm_level, 2)
+    )
+    hand_depth = points.convert_0s_to_maxuint(jnp.stack([d_right, d_left]))
+
+    scale_factor = jnp.float32(w) / jnp.float32(cfgv.train_dim_x)
+    labels = run_layered(
+        hand_depth,
+        layer_tables,
+        conditions,
+        filter_specs=filter_specs,
+        labels_reduce=cfgv.labels_reduce,
+        scale_factor=scale_factor,
+    )
+    # Un-mirror the left hand's labels back into screen space (3d_bz.py:439-446).
+    labels = jnp.stack([labels[0], points.flip_x(labels[1])])
+
+    ms = jax.vmap(
+        lambda li: meanshift.mean_shift(
+            li,
+            variances,
+            num_classes=num_layered_classes,
+            num_rounds=cfgv.mean_shift_rounds,
+        )
+    )(labels)
+
+    tips = [
+        _fingertip_heights(
+            raw_depth, ms[i], plane_mat, pp, focal_x, focal_y, cfgv,
+            cfgv.fingertip_label_ids,
+        )
+        for i in range(2)
+    ]
+    heights = jnp.stack([t[0] for t in tips])
+    tip_valid = jnp.stack([t[1] for t in tips])
+    tip_px = jnp.stack([t[2] for t in tips])
+
+    return {
+        "labels": labels,
+        "means": ms,
+        "heights": heights,
+        "tip_valid": tip_valid,
+        "tip_px": tip_px,
+        "g_info": g_info,
+        "groups_small": groups_small,
+    }
+
+
+class FramePipeline:
+    """Host-side wrapper binding a layered model + intrinsics + tunables to the
+    jitted ``frame_step``.  Owns no mutable device state; every call is pure."""
+
+    def __init__(
+        self,
+        model: LayeredDecisionForest,
+        intrinsics,
+        cfg: Optional[PipelineConfig] = None,
+        mean_shift_variances: Optional[np.ndarray] = None,
+        plane_z_threshold: float = 40.0,   # 3d_bz.py:54
+        group_min_size: float = 0.06,      # 3d_bz.py:63
+    ):
+        self.model = model
+        self.intrin = intrinsics
+        self.cfg = cfg or PipelineConfig(
+            height=intrinsics.height, width=intrinsics.width
+        )
+        if mean_shift_variances is None:
+            # 3d_bz.py:108-110 — class 1 (hand) wide, fingertips tight.
+            mean_shift_variances = np.array(
+                [50.0] + [8.0] * (model.num_layered_classes - 1), np.float32
+            )
+        self.variances = jnp.asarray(mean_shift_variances)
+        self.gauss_kernel = jnp.asarray(
+            points.gaussian_kernel(self.cfg.gauss_kernel_size, self.cfg.gauss_sigma)
+        )
+        self.plane_z_threshold = plane_z_threshold
+        self.group_min_size = group_min_size
+        self._tables = model.layer_tables()
+        self._filter_specs = tuple(
+            (l.filter_model, l.filter_model_class) for l in model.layers
+        )
+
+    def __call__(self, raw_depth, plane_mat):
+        return frame_step(
+            raw_depth,
+            plane_mat,
+            jnp.asarray(self.intrin.pp),
+            jnp.float32(self.intrin.fx),
+            jnp.float32(self.intrin.fy),
+            self._tables,
+            self.model.conditions,
+            self.variances,
+            self.gauss_kernel,
+            jnp.float32(self.plane_z_threshold),
+            jnp.float32(self.group_min_size),
+            cfg=self.cfg,
+            filter_specs=self._filter_specs,
+            num_layered_classes=self.model.num_layered_classes,
+        )
