@@ -147,6 +147,43 @@ class DatasetConfig:
         return out
 
 
+class ArrayDataset:
+    """In-memory dataset with the same block interface as :class:`DatasetConfig`
+    (for tests, synthetic data, and programmatic pipelines)."""
+
+    def __init__(self, depth: np.ndarray, labels: np.ndarray,
+                 num_classes: int, images_per_block: int = 0):
+        assert depth.shape == labels.shape and depth.ndim == 3
+        n, h, w = depth.shape
+        self.depth = depth.astype(np.uint16)
+        self.labels = labels.astype(np.uint16)
+        self._num_classes = num_classes
+        self.img_dims = (w, h)
+        self.num_images = n
+        self.images_per_block = images_per_block or n
+        assert n % self.images_per_block == 0
+        self.num_image_blocks = n // self.images_per_block
+
+    def num_classes(self) -> int:
+        return self._num_classes
+
+    def images_shape(self):
+        return self.depth.shape
+
+    def num_pixels(self):
+        return int(np.prod(self.depth.shape))
+
+    def _blk(self, arr, i):
+        s = i * self.images_per_block
+        return arr[s : s + self.images_per_block]
+
+    def get_depth_block(self, i):
+        return self._blk(self.depth, i)
+
+    def get_labels_block(self, i):
+        return self._blk(self.labels, i)
+
+
 def write_dataset(
     out_dir: str,
     depth: np.ndarray,

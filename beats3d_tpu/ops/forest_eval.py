@@ -79,15 +79,7 @@ def depth_difference_feature(
     return jnp.where(df == 0, jnp.float32(0.0), f)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "labels_reduce",
-        "filter_class",
-        "write_all_eligible",
-    ),
-)
-def evaluate_forest(
+def forest_pdf_sum(
     depth: jnp.ndarray,
     tables: Tuple,
     *,
@@ -95,24 +87,15 @@ def evaluate_forest(
     filter_images: Optional[jnp.ndarray] = None,
     filter_class: int = -1,
     scale_factor=1.0,
-    write_all_eligible: bool = True,
-) -> jnp.ndarray:
-    """Classify every (reduced) pixel of N depth images with a packed forest.
+):
+    """Traverse all trees level-synchronously; return the per-pixel summed leaf
+    pdf plus eligibility/termination masks.  This is the shardable core of
+    :func:`evaluate_forest`: the pdf sum over trees is a plain addition, so a
+    tree-sharded (tensor-parallel) deployment computes partial sums per shard
+    and combines with one ``psum`` (see beats3d_tpu.parallel.eval_sharded).
 
-    Args:
-      depth: (N, H, W) uint16 with 0/65535 missing sentinels.
-      tables: ``PackedForest.tables()`` pytree — per-level SoA node tables.
-      labels_reduce: classify every r-th pixel (reference tree_eval.cu:45-46,69-70).
-      filter_images: optional (N, H//r, W//r) uint16; only pixels whose filter
-        label equals ``filter_class`` are evaluated (tree_eval.cu:81-85).
-      scale_factor: probe-offset scale for eval-res != train-res
-        (tree_eval.cu:104, decision_tree.py:330). May be a traced scalar.
-      write_all_eligible: True = forest-kernel semantics (every eligible pixel
-        gets argmax label, even if no tree reached a leaf -> label 0,
-        tree_eval.cu:132-135). False = single-tree-kernel semantics (pixels
-        whose traversal never terminated keep 65535, tree_eval.cu:177-210).
-
-    Returns (N, H//r, W//r) uint16 labels; 65535 where not evaluated.
+    Returns (pdf_sum (N, Hl, Wl, C) f32, eligible (N, Hl, Wl) bool,
+    all_done (N, Hl, Wl) bool).
     """
     n, h, w = depth.shape
     r = labels_reduce
@@ -173,13 +156,60 @@ def evaluate_forest(
         g = jnp.where((~done) & descend, 2 * g + side, g)
         done = done | hit_leaf
 
+    return pdf_sum, eligible, jnp.all(done, axis=-1)
+
+
+def labels_from_pdf(pdf_sum, eligible, all_done, write_all_eligible=True):
+    """Argmax + eligibility masking (the k==0 epilogue, tree_eval.cu:132-135)."""
     labels = jnp.argmax(pdf_sum, axis=-1).astype(jnp.uint16)
-    if write_all_eligible:
-        write = eligible
-    else:
-        # Single-tree kernel only writes when traversal terminated at a leaf.
-        write = eligible & jnp.all(done, axis=-1)
+    write = eligible if write_all_eligible else (eligible & all_done)
     return jnp.where(write, labels, jnp.uint16(MAX_UINT16))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "labels_reduce",
+        "filter_class",
+        "write_all_eligible",
+    ),
+)
+def evaluate_forest(
+    depth: jnp.ndarray,
+    tables: Tuple,
+    *,
+    labels_reduce: int = 1,
+    filter_images: Optional[jnp.ndarray] = None,
+    filter_class: int = -1,
+    scale_factor=1.0,
+    write_all_eligible: bool = True,
+) -> jnp.ndarray:
+    """Classify every (reduced) pixel of N depth images with a packed forest.
+
+    Args:
+      depth: (N, H, W) uint16 with 0/65535 missing sentinels.
+      tables: ``PackedForest.tables()`` pytree — per-level SoA node tables.
+      labels_reduce: classify every r-th pixel (reference tree_eval.cu:45-46,69-70).
+      filter_images: optional (N, H//r, W//r) uint16; only pixels whose filter
+        label equals ``filter_class`` are evaluated (tree_eval.cu:81-85).
+      scale_factor: probe-offset scale for eval-res != train-res
+        (tree_eval.cu:104, decision_tree.py:330). May be a traced scalar.
+      write_all_eligible: True = forest-kernel semantics (every eligible pixel
+        gets argmax label, even if no tree reached a leaf -> label 0,
+        tree_eval.cu:132-135). False = single-tree-kernel semantics (pixels
+        whose traversal never terminated keep 65535, tree_eval.cu:177-210).
+
+    Returns (N, H//r, W//r) uint16 labels; 65535 where not evaluated.
+    """
+    pdf_sum, eligible, all_done = forest_pdf_sum(
+        depth,
+        tables,
+        labels_reduce=labels_reduce,
+        filter_images=filter_images,
+        filter_class=filter_class,
+        scale_factor=scale_factor,
+    )
+    return labels_from_pdf(pdf_sum, eligible, all_done, write_all_eligible)
 
 
 def evaluate_tree(depth: jnp.ndarray, tables: Tuple) -> jnp.ndarray:

@@ -1,0 +1,94 @@
+"""Forest-training driver: train candidate trees, keep the best N by held-out
+pixel accuracy, assemble the forest (reference src/train_model.py:33-148)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..models.forest import DecisionForest, DecisionTree, PackedForest
+from ..ops import forest_eval
+from .trainer import DecisionTreeTrainer
+
+MAX_UINT16 = 65535
+
+
+def pct_match(pred_labels: np.ndarray, true_labels: np.ndarray) -> float:
+    """Matching pixels / labeled pixels (train_model.py:107,135)."""
+    return float(
+        np.sum(pred_labels == true_labels) / np.sum(true_labels > 0)
+    )
+
+
+def evaluate_tree_accuracy(tree_or_forest_flat: np.ndarray, test_depth, test_labels):
+    """Single-tree (or forest) eval on test images -> pct_match."""
+    import jax.numpy as jnp
+
+    flat = tree_or_forest_flat
+    if flat.ndim == 2:
+        flat = flat[None]
+        single = True
+    else:
+        single = False
+    packed = PackedForest.from_flat(flat)
+    if single:
+        pred = forest_eval.evaluate_tree(jnp.asarray(test_depth), packed.tables())
+    else:
+        pred = forest_eval.evaluate_forest(jnp.asarray(test_depth), packed.tables())
+    return pct_match(np.asarray(pred), np.asarray(test_labels))
+
+
+def train_forest(
+    train_data,
+    test_data,
+    *,
+    num_random_features: int,
+    proposals_per_block: int,
+    images_per_block: Optional[int] = None,
+    max_tree_depth: int,
+    trees_in_forest: int,
+    trees_to_try: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,
+    log=print,
+) -> DecisionForest:
+    """Train ``trees_to_try`` candidate trees, keep the ``trees_in_forest``
+    best by held-out pct_match, return the assembled forest."""
+    rng = rng or np.random.default_rng()
+    trees_to_try = trees_to_try or trees_in_forest
+    images_per_block = images_per_block or train_data.num_images
+
+    trainer = DecisionTreeTrainer(images_per_block, proposals_per_block)
+    trainer.allocate(train_data, num_random_features, max_tree_depth)
+
+    c = train_data.num_classes()
+    tree = DecisionTree(max_tree_depth, c)
+
+    test_depth = test_data.get_depth_block(0)
+    test_labels = test_data.get_labels_block(0)
+
+    best: list = [None] * trees_in_forest
+    forest = DecisionForest(trees_in_forest, max_tree_depth, c)
+
+    for i in range(trees_to_try):
+        log(f"training candidate tree {i + 1}/{trees_to_try}")
+        trainer.train(train_data, tree, rng)
+        acc = evaluate_tree_accuracy(tree.data, test_depth, test_labels)
+        log(f"  pct. matching pixels: {acc:.4f}")
+
+        copy_idx = -1
+        if None in best:
+            copy_idx = best.index(None)
+        else:
+            worst = min(best)
+            if acc > worst:
+                copy_idx = best.index(worst)
+        if copy_idx > -1:
+            log(f"  accepted tree at slot {copy_idx}")
+            best[copy_idx] = acc
+            forest.data[copy_idx] = tree.data.copy()
+
+    acc = evaluate_tree_accuracy(forest.data, test_depth, test_labels)
+    log(f"FOREST pct. matching pixels: {acc:.4f}")
+    forest.pct_match = acc
+    return forest

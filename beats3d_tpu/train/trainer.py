@@ -1,0 +1,453 @@
+"""Decision-forest training, TPU-native.
+
+Level-by-level greedy best-split search mirroring the reference trainer's
+behavior (src/decision_tree.py:373-601 + src/cuda/tree_train.cu), redesigned
+for the MXU:
+
+* The reference's atomicAdd histogram kernel (tree_train.cu:4-64) — one thread
+  per (pixel, proposal) scattering uint64 increments — becomes a **one-hot
+  matmul**: for a pixel chunk, build M[px, m*C + c] = 1 iff the pixel sits in
+  eligible parent node m with label c, evaluate all proposals' split bits
+  b[j, px], and compute ``left = b @ M`` on the MXU.  Deterministic integer
+  counts (f32 exact below 2^24 per chunk, accumulated in int32), zero atomics.
+  For deep levels where the one-hot would not fit, a segment-sum path with the
+  identical contract takes over.
+* The reference's triple blocking — image blocks x proposal blocks x node
+  blocks (decision_tree.py:452-534, MAX 2^17 next nodes per pass :427) — is
+  preserved structurally: the same streaming order, the same eligibility rule
+  (tree_train.cu:42,135), the same "best gain seen so far" merge across
+  proposal blocks with strict > (tree_train.cu:140,172).
+* Split selection (gini gain, zero-gain double-leaf, >= 99.9% purity cutoff,
+  depth-limit leaves — tree_train.cu:99-236) runs vectorized on device per
+  proposal block; the few-KB per-level tree writes happen host-side into the
+  reference-layout packed tree.
+* Per-pixel node advancement (tree_train.cu:275-324) is a vectorized re-eval
+  of each pixel's chosen split.
+
+The reference keeps the dataset GPU-resident via nvcomp compression
+(compressed_blocks.py); HBM is large enough here that blocks are shipped
+per use and optionally cached on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.forest import DecisionTree
+from .proposals import make_random_features
+
+MAX_UINT16 = 65535
+CUTOFF_THRESH = 0.999  # tree_train.cu:201
+
+
+# ---------------------------------------------------------------------------
+# feature evaluation over flattened multi-image pixel chunks
+# ---------------------------------------------------------------------------
+
+def _chunk_features(depth_flat, b, y, x, d_center, props, h, w):
+    """Depth-difference features for a pixel chunk under all proposals.
+
+    depth_flat: (B*H*W,) uint16; b/y/x/d_center: (chunk,) int32/uint16;
+    props: (P, 5).  Returns f_val (P, chunk) float32 with the exact reference
+    semantics (floor offsets, OOB -> 65535, center 0 -> f = 0).
+    """
+    df = d_center.astype(jnp.float32)
+    safe = jnp.where(df == 0, 1.0, df)[None, :]  # (1, chunk)
+
+    def probe(cx, cy):
+        dx = jnp.floor(cx[:, None] / safe).astype(jnp.int32)
+        dy = jnp.floor(cy[:, None] / safe).astype(jnp.int32)
+        ty = y[None, :] + dy
+        tx = x[None, :] + dx
+        inb = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+        lin = (
+            b[None, :] * (h * w)
+            + jnp.clip(ty, 0, h - 1) * w
+            + jnp.clip(tx, 0, w - 1)
+        )
+        vals = jnp.take(depth_flat, lin.reshape(-1)).reshape(lin.shape)
+        return jnp.where(inb, vals, jnp.uint16(MAX_UINT16)).astype(jnp.float32)
+
+    f = probe(props[:, 0], props[:, 1]) - probe(props[:, 2], props[:, 3])
+    return jnp.where(df[None, :] == 0, 0.0, f)
+
+
+# ---------------------------------------------------------------------------
+# jitted training steps
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_classes", "w2", "node_lo", "chunk", "use_matmul"),
+)
+def _histogram_step(
+    depth, labels, nodes, props, *, num_classes, w2, node_lo, chunk, use_matmul
+):
+    """Child-class histogram for one (image block, proposal block, node block).
+
+    depth/labels: (B, H, W) uint16; nodes: (B, H, W) int32 (-1 = inactive);
+    props: (P, 5).  ``w2`` parent slots cover nodes [node_lo//2, node_lo//2+w2).
+
+    Returns (left (P, w2, C) int32, total (w2, C) int32): left-child counts per
+    proposal and total (left+right) counts per parent.
+    """
+    bsz, h, w = depth.shape
+    npx = bsz * h * w
+    p = props.shape[0]
+    c = num_classes
+    parent_lo = node_lo // 2
+
+    depth_flat = depth.reshape(-1)
+    labels_flat = labels.reshape(-1).astype(jnp.int32)
+    nodes_flat = nodes.reshape(-1)
+
+    pad = (-npx) % chunk
+    if pad:
+        depth_flat = jnp.pad(depth_flat, (0, pad))
+        labels_flat = jnp.pad(labels_flat, (0, pad))
+        nodes_flat = jnp.pad(nodes_flat, (0, pad), constant_values=-1)
+    n_chunks = (npx + pad) // chunk
+
+    lin_all = jnp.arange(npx + pad, dtype=jnp.int32)
+    b_all = lin_all // (h * w)
+    rem = lin_all % (h * w)
+    y_all = rem // w
+    x_all = rem % w
+
+    def body(carry, i):
+        left_acc, total_acc = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        node = sl(nodes_flat)
+        # eligibility: children in [node_lo, node_lo + 2*w2)   (tree_train.cu:42)
+        m_local = node - parent_lo
+        active = (node >= 0) & (m_local >= 0) & (m_local < w2)
+        label = sl(labels_flat)
+        bb, yy, xx = sl(b_all), sl(y_all), sl(x_all)
+
+        f = _chunk_features(depth_flat, bb, yy, xx, sl(depth_flat), props, h, w)
+        is_left = (f < props[:, 4][:, None]).astype(jnp.float32)  # (P, chunk)
+
+        col = jnp.clip(m_local, 0, w2 - 1) * c + label
+        if use_matmul:
+            onehot = (
+                (col[:, None] == jnp.arange(w2 * c, dtype=jnp.int32)[None, :])
+                & active[:, None]
+            ).astype(jnp.float32)
+            left = jnp.dot(is_left, onehot, preferred_element_type=jnp.float32)
+            total = jnp.sum(onehot, axis=0)
+        else:
+            seg = jnp.where(active, col, w2 * c)
+            total = jax.ops.segment_sum(
+                jnp.ones_like(seg, jnp.float32), seg, num_segments=w2 * c + 1
+            )[: w2 * c]
+            seg_p = seg[None, :] + jnp.arange(p, dtype=jnp.int32)[:, None] * (
+                w2 * c + 1
+            )
+            left = jax.ops.segment_sum(
+                is_left.reshape(-1),
+                seg_p.reshape(-1),
+                num_segments=p * (w2 * c + 1),
+            ).reshape(p, w2 * c + 1)[:, : w2 * c]
+        return (
+            left_acc + left.astype(jnp.int32),
+            total_acc + total.astype(jnp.int32),
+        ), None
+
+    # int32 accumulators: per-chunk counts are exact in f32 (chunk < 2^24) and
+    # a bin can hold at most the dataset's labeled-pixel count, which the
+    # trainer guards to < 2^31 (a ~5000-image 848x480 dataset).
+    init = (
+        jnp.zeros((p, w2 * c), jnp.int32),
+        jnp.zeros((w2 * c,), jnp.int32),
+    )
+    (left, total), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return left.reshape(p, w2, c), total.reshape(w2, c)
+
+
+def _gini_impurity(counts):
+    """counts (..., C) float32 -> impurity, float math as tree_train.cu:72-80."""
+    s = jnp.sum(counts, axis=-1, keepdims=True)
+    pr = counts / s
+    return 1.0 - jnp.sum(pr * pr, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("w2", "parent_lo"))
+def _pick_best_step(
+    active_nodes, parent_counts, left, total, props,
+    best_gain, best_params, best_left, best_right,
+    *, w2, parent_lo,
+):
+    """Merge one proposal block's gains into the per-active-node running best.
+
+    active_nodes: (A,) int32 (-1 padding); parent_counts: (A, C) f32;
+    left: (P, w2, C) int64; total: (w2, C) int64; props (P, 5).
+    best_*: running state (A,), (A, 5), (A, C), (A, C).
+    Strictly-greater replacement across blocks (tree_train.cu:140,172).
+    """
+    m_local = active_nodes - parent_lo
+    eligible = (active_nodes >= 0) & (m_local >= 0) & (m_local < w2)
+    m_safe = jnp.clip(m_local, 0, w2 - 1)
+
+    l = left[:, m_safe, :].astype(jnp.float32)          # (P, A, C)
+    t = total[m_safe, :].astype(jnp.float32)            # (A, C)
+    r = t[None] - l
+
+    lsum = jnp.sum(l, axis=-1)
+    rsum = jnp.sum(r, axis=-1)
+    psum = jnp.sum(parent_counts, axis=-1)              # (A,)
+
+    p_imp = _gini_impurity(parent_counts)               # (A,)
+    remainder = (lsum / psum[None]) * _gini_impurity(l) + (
+        rsum / psum[None]
+    ) * _gini_impurity(r)
+    g = p_imp[None] - remainder
+    g = jnp.where((lsum == 0) | (rsum == 0), 0.0, g)    # tree_train.cu:158-160
+
+    best_j = jnp.argmax(g, axis=0)                      # first max, like the scan
+    arange_a = jnp.arange(active_nodes.shape[0])
+    g_best = g[best_j, arange_a]
+
+    improve = eligible & (g_best > best_gain)
+    new_gain = jnp.where(improve, g_best, best_gain)
+    new_params = jnp.where(improve[:, None], props[best_j], best_params)
+    new_left = jnp.where(improve[:, None], l[best_j, arange_a], best_left)
+    new_right = jnp.where(improve[:, None], r[best_j, arange_a], best_right)
+    return new_gain, new_params, new_left, new_right
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _advance_step(depth, nodes, level_params, level_status):
+    """Advance nodes_by_pixel through the freshly written level
+    (tree_train.cu:275-324).
+
+    level_params: (G, 5) f32 chosen features; level_status: (G, 2) int32
+    floor(l_next/r_next); nodes: (B, H, W) int32.
+    """
+    bsz, h, w = depth.shape
+    depth_flat = depth.reshape(-1)
+    nodes_flat = nodes.reshape(-1)
+    npx = nodes_flat.shape[0]
+
+    lin = jnp.arange(npx, dtype=jnp.int32)
+    b = lin // (h * w)
+    rem = lin % (h * w)
+    y = rem // w
+    x = rem % w
+
+    act = nodes_flat >= 0
+    node_safe = jnp.where(act, nodes_flat, 0)
+    pr = level_params[node_safe]                         # (npx, 5)
+    # feature eval with per-pixel params (not per-proposal)
+    df = depth_flat.astype(jnp.float32)
+    safe = jnp.where(df == 0, 1.0, df)
+
+    def probe(cx, cy):
+        dx = jnp.floor(cx / safe).astype(jnp.int32)
+        dy = jnp.floor(cy / safe).astype(jnp.int32)
+        ty = y + dy
+        tx = x + dx
+        inb = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+        gl = b * (h * w) + jnp.clip(ty, 0, h - 1) * w + jnp.clip(tx, 0, w - 1)
+        vals = jnp.take(depth_flat, gl)
+        return jnp.where(inb, vals, jnp.uint16(MAX_UINT16)).astype(jnp.float32)
+
+    fv = probe(pr[:, 0], pr[:, 1]) - probe(pr[:, 2], pr[:, 3])
+    fv = jnp.where(df == 0, 0.0, fv)
+
+    is_left = fv < pr[:, 4]
+    side = jnp.where(is_left, 0, 1)
+    status = jnp.take_along_axis(
+        level_status[node_safe], side[:, None], axis=1
+    )[:, 0]
+    nxt = jnp.where(status == -1, node_safe * 2 + side, -1)
+    return jnp.where(act, nxt, -1).reshape(nodes.shape)
+
+
+# ---------------------------------------------------------------------------
+# host-side trainer
+# ---------------------------------------------------------------------------
+
+class DecisionTreeTrainer:
+    """Streaming level-wise trainer (reference DecisionTreeTrainer,
+    decision_tree.py:373-601)."""
+
+    def __init__(
+        self,
+        num_images_per_image_block: int,
+        num_proposals_per_proposal_block: int,
+        max_nodes_per_block: int = 1 << 17,   # decision_tree.py:427
+        matmul_bins_limit: int = 1 << 14,
+        pixel_chunk: int = 1 << 13,
+    ):
+        self.images_per_block = num_images_per_image_block
+        self.proposals_per_block = num_proposals_per_proposal_block
+        self.max_nodes_per_block = max_nodes_per_block
+        self.matmul_bins_limit = matmul_bins_limit
+        self.pixel_chunk = pixel_chunk
+
+    def allocate(self, dataset, num_random_features: int, max_tree_depth: int):
+        assert dataset.num_images % self.images_per_block == 0
+        assert dataset.num_pixels() < 2**31, (
+            "int32 histogram accumulators: split the dataset"
+        )
+        assert num_random_features % self.proposals_per_block == 0
+        self.num_random_features = num_random_features
+        self.max_tree_depth = max_tree_depth
+        self.num_image_blocks = dataset.num_images // self.images_per_block
+        self.num_proposal_blocks = (
+            num_random_features // self.proposals_per_block
+        )
+
+    # -- one tree ------------------------------------------------------------
+    def train(self, dataset, tree: DecisionTree, rng: Optional[np.random.Generator] = None,
+              proposals_per_level: Optional[List[List[np.ndarray]]] = None):
+        """Train ``tree`` in place.  ``proposals_per_level`` (tests only)
+        injects fixed proposals: list over levels of lists over proposal
+        blocks of (P, 5) arrays."""
+        rng = rng or np.random.default_rng()
+        c = dataset.num_classes()
+        d = self.max_tree_depth
+        tree.data[:] = 0.0
+
+        w, h = dataset.img_dims
+        # per-image-block device state
+        depth_blocks = [
+            jnp.asarray(dataset.get_depth_block(i))
+            for i in range(self.num_image_blocks)
+        ]
+        labels_blocks = [
+            jnp.asarray(dataset.get_labels_block(i))
+            for i in range(self.num_image_blocks)
+        ]
+        nodes_blocks = []
+        node_counts = np.zeros((1 << d, c), dtype=np.int64)
+        for i in range(self.num_image_blocks):
+            lab = np.asarray(labels_blocks[i])
+            un, cnt = np.unique(lab, return_counts=True)
+            for label_id, n in zip(un, cnt):
+                if label_id > 0:
+                    node_counts[0, label_id] += n
+            nodes = np.full(lab.shape, -1, dtype=np.int32)
+            nodes[lab > 0] = 0
+            nodes_blocks.append(jnp.asarray(nodes))
+
+        active = np.array([0], dtype=np.int32)
+
+        for level in range(d):
+            if len(active) == 0:
+                break
+            a = len(active)
+            active_j = jnp.asarray(active)
+            parent_counts = jnp.asarray(node_counts[active].astype(np.float32))
+
+            best_gain = jnp.full((a,), -1.0, jnp.float32)
+            best_params = jnp.zeros((a, 5), jnp.float32)
+            best_left = jnp.zeros((a, c), jnp.float32)
+            best_right = jnp.zeros((a, c), jnp.float32)
+
+            max_next = 1 << (level + 1)
+            if max_next > self.max_nodes_per_block:
+                assert max_next % self.max_nodes_per_block == 0
+                node_blocks = [
+                    (i * self.max_nodes_per_block, (i + 1) * self.max_nodes_per_block)
+                    for i in range(max_next // self.max_nodes_per_block)
+                ]
+            else:
+                node_blocks = [(0, max_next)]
+
+            for pb in range(self.num_proposal_blocks):
+                if proposals_per_level is not None:
+                    props_np = proposals_per_level[level][pb]
+                else:
+                    props_np = make_random_features(self.proposals_per_block, rng)
+                props = jnp.asarray(props_np)
+
+                for (lo, hi) in node_blocks:
+                    w2 = (hi - lo) // 2
+                    use_matmul = w2 * c <= self.matmul_bins_limit
+                    left = jnp.zeros((self.proposals_per_block, w2, c), jnp.int32)
+                    total = jnp.zeros((w2, c), jnp.int32)
+                    for ib in range(self.num_image_blocks):
+                        l_i, t_i = _histogram_step(
+                            depth_blocks[ib],
+                            labels_blocks[ib],
+                            nodes_blocks[ib],
+                            props,
+                            num_classes=c,
+                            w2=w2,
+                            node_lo=lo,
+                            chunk=self.pixel_chunk,
+                            use_matmul=use_matmul,
+                        )
+                        left = left + l_i
+                        total = total + t_i
+
+                    best_gain, best_params, best_left, best_right = (
+                        _pick_best_step(
+                            active_j, parent_counts, left, total, props,
+                            best_gain, best_params, best_left, best_right,
+                            w2=w2, parent_lo=lo // 2,
+                        )
+                    )
+
+            # -- finalize this level (host, few KB) --------------------------
+            bg = np.asarray(best_gain)
+            bp = np.asarray(best_params)
+            bl = np.asarray(best_left)
+            br = np.asarray(best_right)
+            next_active = []
+            for i, node in enumerate(active):
+                flat = (1 << level) - 1 + int(node)
+                tree.data[flat, 0:5] = bp[i]
+                parent = node_counts[node].astype(np.float64)
+                if bg[i] <= 0.0:  # no gain: double leaf w/ parent pdf
+                    psum = parent.sum()
+                    pdf = (parent / psum).astype(np.float32)
+                    tree.data[flat, 5] = 0.0
+                    tree.data[flat, 6] = 0.0
+                    tree.data[flat, 7 : 7 + c] = pdf
+                    tree.data[flat, 7 + c : 7 + 2 * c] = pdf
+                    continue
+                for side, counts in ((0, bl[i]), (1, br[i])):
+                    child = int(node) * 2 + side
+                    col = 5 + side
+                    pdf0 = 7 + side * c
+                    ssum = counts.sum()
+                    frac = counts / ssum
+                    cut = -1
+                    for k in range(c):
+                        if frac[k] >= CUTOFF_THRESH:
+                            cut = k
+                            break
+                    if cut > -1:
+                        tree.data[flat, col] = 0.0
+                        tree.data[flat, pdf0 + cut] = 1.0
+                    elif level == d - 1:
+                        tree.data[flat, col] = 0.0
+                        tree.data[flat, pdf0 : pdf0 + c] = frac.astype(np.float32)
+                    else:
+                        tree.data[flat, col] = -1.0
+                        node_counts[child] = counts.astype(np.int64)
+                        next_active.append(child)
+
+            if level == d - 1 or not next_active:
+                break
+
+            # -- advance pixels through the freshly written level -------------
+            g = 1 << level
+            lvl = tree.data[(1 << level) - 1 : (1 << (level + 1)) - 1]
+            level_params = jnp.asarray(lvl[:, 0:5])
+            level_status = jnp.asarray(np.floor(lvl[:, 5:7]).astype(np.int32))
+            for ib in range(self.num_image_blocks):
+                nodes_blocks[ib] = _advance_step(
+                    depth_blocks[ib], nodes_blocks[ib], level_params, level_status
+                )
+            active = np.array(sorted(next_active), dtype=np.int32)
+
+        return tree

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Benchmark: fused frame-pipeline throughput on the flagship layered model.
+
+Prints ONE JSON line:
+  {"metric": "frames_per_second", "value": N, "unit": "848x480 frames/s/chip",
+   "vs_baseline": N / 2000}
+
+Baseline: the driver-supplied north star of 2000 848x480 depth frames/s/chip
+(BASELINE.json); the reference application itself operates at 90 FPS camera
+rate (BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import entry
+
+    fn, (depth, plane_mat) = entry()
+
+    # warm-up / compile
+    out = fn(depth, plane_mat)
+    np.asarray(out["heights"])
+
+    # steady state: time a dispatch chain and force completion with a fetch
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(depth, plane_mat)
+    h = np.asarray(out["heights"])  # forces the full chain
+    dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+
+    # p50 single-frame latency (dispatch -> heights on host), small sample
+    lats = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        out = fn(depth, plane_mat)
+        np.asarray(out["heights"])
+        lats.append(time.perf_counter() - t0)
+    p50_ms = sorted(lats)[len(lats) // 2] * 1e3
+
+    result = {
+        "metric": "frames_per_second",
+        "value": round(fps, 2),
+        "unit": "848x480 frames/s/chip",
+        "vs_baseline": round(fps / 2000.0, 4),
+        "p50_latency_ms": round(p50_ms, 2),
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Trainer parity vs the scalar oracle trainer, plus end-to-end learning."""
+
+import numpy as np
+
+import fixtures
+import oracle
+
+from beats3d_tpu.data.dataset import ArrayDataset
+from beats3d_tpu.models.forest import DecisionTree, PackedForest
+from beats3d_tpu.ops import forest_eval
+from beats3d_tpu.train import DecisionTreeTrainer, make_random_features, train_forest
+from beats3d_tpu.train.trainer import _histogram_step
+
+
+def test_histogram_matmul_vs_segment_paths(rng):
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=2, h=16, w=24)
+    nodes = np.where(labels > 0, 0, -1).astype(np.int32)
+    props = make_random_features(8, rng)
+    import jax.numpy as jnp
+
+    kw = dict(num_classes=4, w2=1, node_lo=0, chunk=256)
+    l1, t1 = _histogram_step(
+        jnp.asarray(depth), jnp.asarray(labels), jnp.asarray(nodes),
+        jnp.asarray(props), use_matmul=True, **kw
+    )
+    l2, t2 = _histogram_step(
+        jnp.asarray(depth), jnp.asarray(labels), jnp.asarray(nodes),
+        jnp.asarray(props), use_matmul=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    # left + right == parent counts (the device assert at tree_train.cu:156)
+    parent = np.array(
+        [np.sum(labels == c) for c in range(4)], dtype=np.int64
+    )
+    parent[0] = 0
+    np.testing.assert_array_equal(np.asarray(t1)[0], parent)
+
+
+def test_trainer_matches_oracle(rng):
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=3, h=16, w=24)
+    num_classes, max_depth = 4, 4
+    # fixed proposals so both trainers see the same feature pool
+    proposals = [[make_random_features(16, rng)] for _ in range(max_depth)]
+
+    want = oracle.train_tree(
+        depth, labels, [p[0] for p in proposals], max_depth, num_classes
+    )
+
+    ds = ArrayDataset(depth, labels, num_classes)
+    trainer = DecisionTreeTrainer(3, 16)
+    trainer.allocate(ds, 16, max_depth)
+    tree = DecisionTree(max_depth, num_classes)
+    trainer.train(ds, tree, proposals_per_level=proposals)
+
+    got = tree.data
+    # structure: split params + l/r status must match exactly
+    np.testing.assert_array_equal(
+        np.floor(got[:, 5:7]), np.floor(want[:, 5:7])
+    )
+    np.testing.assert_allclose(got[:, 0:5], want[:, 0:5], rtol=1e-6)
+    # pdfs: float tolerance (count ratios)
+    np.testing.assert_allclose(got[:, 7:], want[:, 7:], atol=1e-5)
+
+
+def test_trained_tree_actually_learns(rng):
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=4, h=24, w=32)
+    ds = ArrayDataset(depth, labels, 4)
+    trainer = DecisionTreeTrainer(4, 32)
+    trainer.allocate(ds, 32, 6)
+    tree = DecisionTree(6, 4)
+    trainer.train(ds, tree, rng=np.random.default_rng(7))
+
+    import jax.numpy as jnp
+
+    packed = PackedForest.from_flat(tree.data[None])
+    pred = np.asarray(
+        forest_eval.evaluate_tree(jnp.asarray(depth), packed.tables())
+    )
+    # accuracy on labeled pixels should be high (depth bands are separable)
+    labeled = labels > 0
+    acc = np.mean(pred[labeled] == labels[labeled])
+    assert acc > 0.8, acc
+
+
+def test_train_forest_driver(rng):
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=6, h=16, w=24)
+    train = ArrayDataset(depth[:4], labels[:4], 4)
+    test = ArrayDataset(depth[4:], labels[4:], 4)
+    forest = train_forest(
+        train, test,
+        num_random_features=16, proposals_per_block=16,
+        max_tree_depth=4, trees_in_forest=2, trees_to_try=3,
+        rng=np.random.default_rng(3), log=lambda *a: None,
+    )
+    assert forest.data.shape == (2, 15, 15)
+    assert forest.pct_match > 0.5
