@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Fit a cylinder to a labeled region by render-and-compare random search
+(reference src/pose_fit.py, headless)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from beats3d_tpu.models import DecisionForest
+from beats3d_tpu.ops import forest_eval, meanshift, plane as plane_ops, points
+from beats3d_tpu.ops.posefit import CylinderTform, fit_cylinder
+from beats3d_tpu.runtime import camera
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Cylinder pose fit (TPU)")
+    parser.add_argument("-m", "--model", required=True, type=str)
+    parser.add_argument("--plane_num_iterations", type=int, default=25000)
+    parser.add_argument("--plane_z_threshold", required=True, type=float)
+    parser.add_argument("--iterations", type=int, default=200)
+    parser.add_argument("--target_label", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=None)
+    camera.add_args(parser)
+    args = parser.parse_args()
+
+    source = camera.open_source(args)
+    intrin = source.intrinsics
+    forest = DecisionForest.load(args.model)
+    tables = forest.pack().tables()
+    cal = plane_ops.CalibratedPlane(
+        args.plane_num_iterations, args.plane_z_threshold
+    )
+
+    it = source.frames()
+    for _ in range(15):
+        frame = next(it)
+    depth = jnp.asarray(frame.depth)
+    pts = points.deproject_points(
+        depth, jnp.asarray(intrin.pp), jnp.float32(intrin.fx)
+    )
+    cal.make(pts)
+    mat = np.asarray(cal.get_mat())
+
+    q = points.transform_points(pts, cal.get_mat())
+    qf = points.filter_points_by_plane(q, args.plane_z_threshold)
+    d = points.setup_depth_image_for_forest(qf, depth)
+    labels = forest_eval.evaluate_forest(d[None], tables)[0]
+
+    variances = jnp.asarray(
+        np.full(forest.num_classes - 1, 50.0, np.float32)
+    )
+    means = np.asarray(
+        meanshift.mean_shift(
+            labels, variances, num_classes=forest.num_classes - 1, num_rounds=6
+        )
+    )
+    px, py = means[args.target_label - 1].astype(int)
+    z = float(np.asarray(depth)[py, px])
+    p = mat @ np.array(
+        [
+            z * (px - intrin.ppx) / intrin.fx,
+            z * (py - intrin.ppy) / intrin.fy,
+            z,
+            1.0,
+        ]
+    )
+
+    init = CylinderTform()
+    init.t[:] = p[0:3]
+    init.s[:] = [200.0 * 1.3, 200.0, 800.0]
+
+    obs = np.asarray(points.remove_missing_3d_points_from_depth_image(qf, depth))
+    best, cost, history = fit_cylinder(
+        obs, np.asarray(labels), mat, init,
+        intrin.pp, intrin.fx,
+        target_label=args.target_label,
+        iterations=args.iterations,
+        rng=np.random.default_rng(args.seed),
+        log=print,
+    )
+    print(f"final cost {cost:.1f}; t={best.t} r={best.r} s={best.s}")
+    source.stop()
+
+
+if __name__ == "__main__":
+    main()

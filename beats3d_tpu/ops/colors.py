@@ -79,7 +79,19 @@ def kmeans_palette_step(image: jnp.ndarray, colors: jnp.ndarray, num_iters: int 
         counts = jax.ops.segment_sum(one, seg, num_segments=k + 1)[:k]
         sums = jax.ops.segment_sum(img * one[:, None], seg, num_segments=k + 1)[:k]
         new = sums / jnp.where(counts == 0, 1.0, counts)[:, None]
-        return jnp.where((counts > 0)[:, None], new, pal)
+        new = jnp.where((counts > 0)[:, None], new, pal)
+        # Dead-cluster repair (an improvement over the reference EM, which
+        # lets empty clusters rot at their random init): reseed one dead
+        # cluster per iteration at the worst-fit pixel's color.
+        min_d = jnp.min(d, axis=-1)
+        far_idx = jnp.argmax(jnp.where(valid, min_d, -1.0))
+        dead = counts == 0
+        first_dead = jnp.argmax(dead)
+        reseed = jnp.any(dead)
+        new = new.at[first_dead].set(
+            jnp.where(reseed, img[far_idx], new[first_dead])
+        )
+        return new
 
     pal = jax.lax.fori_loop(0, num_iters, body, colors.astype(jnp.float32))
     d = jnp.sum((img[:, None, :] - pal) ** 2, axis=-1)

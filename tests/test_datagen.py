@@ -1,0 +1,69 @@
+"""Datagen end-to-end: synthetic colored session -> labeled dataset on disk ->
+trainable."""
+
+import json
+
+import numpy as np
+import pytest
+
+from beats3d_tpu.data import DatasetConfig
+from beats3d_tpu.data.datagen import DatagenConfig, LiveDataConvert, make_color_mapping
+from beats3d_tpu.utils import CameraIntrinsics
+
+
+def _colored_scene(intrin, t=0):
+    """Table + hand blob; the hand painted in 3 distinct colors (skin-paint
+    stand-in), background black."""
+    h, w = intrin.height, intrin.width
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    depth = np.full((h, w), 2000.0, np.float32)
+    color = np.zeros((h, w, 3), np.uint8)
+    cx, cy, r = w // 2 + t, h // 2, int(0.25 * h)
+    blob = (xx - cx) ** 2 + (yy - cy) ** 2 < r * r
+    depth[blob] -= 300
+    # three color bands inside the blob
+    band = ((yy - cy) // (r // 2)).astype(int)
+    colors = {0: (200, 40, 40), 1: (40, 200, 40), -1: (40, 40, 200)}
+    for b, c in colors.items():
+        m = blob & (band == b)
+        color[m] = c
+    return depth.astype(np.uint16), color
+
+
+def test_color_mapping_recovers_palette(rng):
+    intrin = CameraIntrinsics.d415(106, 60)
+    _, color = _colored_scene(intrin)
+    cfg = DatagenConfig(num_colors=3, color_em_tries=4, color_em_iterations=16)
+    pal = make_color_mapping(color, cfg, rng)
+    want = {(200, 40, 40), (40, 200, 40), (40, 40, 200)}
+    got = [tuple(int(x) for x in row) for row in pal]
+    # every true color is captured by some palette entry (a dead cluster may
+    # leave one garbage row, as in the reference's EM)
+    for wt in want:
+        assert min(sum((a - b) ** 2 for a, b in zip(g, wt)) for g in got) < 300
+
+
+def test_live_data_convert_end_to_end(tmp_path, rng):
+    intrin = CameraIntrinsics.d415(106, 60)
+    cfg = DatagenConfig(
+        num_colors=3, color_em_tries=3, color_em_iterations=12,
+        plane_candidates=512, plane_z_threshold=40.0, max_images=5,
+        scale_variance=0.05,
+    )
+    conv = LiveDataConvert(str(tmp_path / "ds"), intrin, cfg, rng=rng,
+                           log=lambda *a: None)
+    for t in range(5):
+        depth, color = _colored_scene(intrin, t)
+        assert conv.process_frame(depth, color)
+    out_cfg = conv.finish()
+    assert out_cfg["num_images"] == 5
+    assert len(out_cfg["id_to_color"]) == 3
+
+    # loadable through the standard dataset loader, and labels non-degenerate
+    ds = DatasetConfig(str(tmp_path / "ds"), num_images=5, name="train")
+    labels = ds.get_labels_block(0)
+    depth = ds.get_depth_block(0)
+    assert labels.shape == (5, 60, 106)
+    assert (labels > 0).sum() > 100  # the hand got labeled
+    assert set(np.unique(labels)).issubset({0, 1, 2, 3})
+    assert (depth != 0).all()  # written with 65535 sentinel for missing
