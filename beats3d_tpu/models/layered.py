@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import forest_eval
+from ..ops import forest_eval_pallas
 from .forest import DecisionForest, PackedForest
 
 MAX_UINT16 = 65535
@@ -34,6 +35,8 @@ class LayerSpec:
     forest: PackedForest
     filter_model: Optional[int]
     filter_model_class: Optional[int]
+    pallas_tables: Optional[tuple] = None   # (levels, meta) lazy
+    flat: Optional[object] = None           # original packed array
 
 
 @dataclasses.dataclass
@@ -60,13 +63,15 @@ class LayeredDecisionForest:
     def from_config(cfg: dict, root: str, labels_reduce: int = 1):
         layers = []
         for l in cfg["layers"]:
-            forest = DecisionForest.load(os.path.join(root, l["model"])).pack()
+            df = DecisionForest.load(os.path.join(root, l["model"]))
+            forest = df.pack()
             if "filter_model" in l:
                 layers.append(
-                    LayerSpec(forest, int(l["filter_model"]), int(l["filter_model_class"]))
+                    LayerSpec(forest, int(l["filter_model"]),
+                              int(l["filter_model_class"]), flat=df.data)
                 )
             else:
-                layers.append(LayerSpec(forest, None, None))
+                layers.append(LayerSpec(forest, None, None, flat=df.data))
 
         conditions = np.array(cfg["conditions"], dtype=np.int32)
         num_layered_classes = int(
@@ -83,21 +88,46 @@ class LayeredDecisionForest:
         )
 
     def layer_tables(self) -> Tuple:
-        """Pytree of all layers' tables (for passing through jit boundaries)."""
+        """Pytree of all layers' XLA tables (for passing through jit)."""
         return tuple(l.forest.tables() for l in self.layers)
 
-    def run(self, depth: jnp.ndarray, scale_factor=1.0) -> jnp.ndarray:
+    def layer_tables_pallas(self) -> Tuple:
+        """Pytree of all layers' Pallas-kernel tables."""
+        out = []
+        for l in self.layers:
+            if l.pallas_tables is None:
+                l.pallas_tables = forest_eval_pallas.pack_tables_pallas(l.flat)
+            out.append(l.pallas_tables[0])
+        return tuple(out)
+
+    def layer_metas(self) -> Tuple:
+        """Static (T, D, C) per layer for the Pallas backend."""
+        out = []
+        for l in self.layers:
+            if l.pallas_tables is None:
+                l.pallas_tables = forest_eval_pallas.pack_tables_pallas(l.flat)
+            out.append(l.pallas_tables[1])
+        return tuple(out)
+
+    def run(self, depth: jnp.ndarray, scale_factor=1.0,
+            backend: str = "xla") -> jnp.ndarray:
         """Evaluate all layers on (N, H, W) uint16 depth; returns composite
         (N, H//r, W//r) uint16 labels (65535 = unlabeled)."""
+        tables = (
+            self.layer_tables_pallas() if backend == "pallas"
+            else self.layer_tables()
+        )
         return run_layered(
             depth,
-            self.layer_tables(),
+            tables,
             self.conditions,
             filter_specs=tuple(
                 (l.filter_model, l.filter_model_class) for l in self.layers
             ),
             labels_reduce=self.labels_reduce,
             scale_factor=scale_factor,
+            backend=backend,
+            metas=self.layer_metas() if backend == "pallas" else None,
         )
 
 
@@ -109,30 +139,26 @@ def run_layered(
     filter_specs: Tuple,
     labels_reduce: int,
     scale_factor=1.0,
+    backend: str = "xla",
+    metas: Optional[Tuple] = None,
 ) -> jnp.ndarray:
     """Functional layered-forest forward pass (jit-traceable; call under jit).
 
-    filter_specs: static tuple of (filter_model_index | None, filter_class | None).
+    filter_specs: static tuple of (filter_model_index | None, filter_class |
+    None).  backend: "xla" (vectorized evaluator) or "pallas" (the fused TPU
+    kernel, ~50x faster on hardware; ``metas`` carries its static (T, D, C)).
     """
     label_images = []
-    for tables, (fm, fc) in zip(layer_tables, filter_specs):
+    for i, (tables, (fm, fc)) in enumerate(zip(layer_tables, filter_specs)):
+        kw = dict(labels_reduce=labels_reduce, scale_factor=scale_factor)
         if fm is not None:
-            filt = label_images[fm]
-            labels = forest_eval.evaluate_forest(
-                depth,
-                tables,
-                labels_reduce=labels_reduce,
-                filter_images=filt,
-                filter_class=int(fc),
-                scale_factor=scale_factor,
+            kw.update(filter_images=label_images[fm], filter_class=int(fc))
+        if backend == "pallas":
+            labels = forest_eval_pallas.evaluate_forest_pallas(
+                depth, tables, metas[i], **kw
             )
         else:
-            labels = forest_eval.evaluate_forest(
-                depth,
-                tables,
-                labels_reduce=labels_reduce,
-                scale_factor=scale_factor,
-            )
+            labels = forest_eval.evaluate_forest(depth, tables, **kw)
         label_images.append(labels)
 
     stacked = jnp.stack(label_images, axis=0)  # (M, N, Hl, Wl)

@@ -1,0 +1,446 @@
+"""Fused Pallas TPU kernel for per-pixel forest evaluation — the hot op.
+
+Why: XLA lowers the evaluator's data-dependent image gathers to ~14-36 ns per
+element on TPU, putting an 848x480 frame at ~300 ms.  The only fast dynamic
+addressing Mosaic exposes is the per-lane 128-wide shuffle
+(``take_along_axis(..., axis=1)`` -> tpu.dynamic_gather).  This kernel
+rebuilds the traversal around that primitive:
+
+* the depth image lives in VMEM, padded with a 65535 sentinel apron so
+  out-of-bounds probes read the correct "missing" value with no branching;
+* label pixels are processed in (8, 128) tiles; each tree level's two probes
+  are served by enumerating candidate (row-start, column-chunk) pairs whose
+  bounds are computed per tile from the actual probe targets (min/max over
+  the tile) — coherent hand pixels need only a handful of passes, while
+  arbitrary inputs remain exact, just slower;
+* ``labels_reduce=2`` striding is handled by pre-splitting the padded image
+  into even/odd row planes so a stride-2 sublane window becomes a contiguous
+  (8, 128) slice;
+* node parameters and leaf pdfs are gathered from per-level SoA tables with
+  the same chunk-shuffle pattern (dynamic chunk bounds over the tile's node
+  ids);
+* the per-pixel pdf sum across trees and the strictly-greater argmax
+  (tree_eval.cu:7-21,123-135) happen in registers; the kernel emits final
+  labels.
+
+Semantics are bit-identical to ops/forest_eval.py (same floor rounding, OOB
+and zero-center rules, filter/labels_reduce/scale_factor features); the test
+suite checks both against the scalar oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_UINT16 = 65535
+
+PAD_Y = 48     # sentinel apron rows above the image
+PAD_B = 64     # below (covers the deepest candidate block start)
+PAD_X = 128    # sentinel columns left; right gets PAD_X + LANE
+LANE = 128
+SUB = 8
+
+
+def pack_tables_pallas(forest_flat: np.ndarray):
+    """Pack a (T, 2**D - 1, 7 + 2C) forest into kernel-friendly tables.
+
+    Per level j: (ux, uy, vx, vy, thresh) f32, (l_next, r_next) i32 (floored;
+    -1 = descend) each shaped (T, SC, 8, 128) — "superchunk" layout: node id g
+    lives at [t, (g//128)//8, (g//128)%8, g%128], so any 128-node chunk is one
+    dynamic-leading-index load of an aligned (8, 128) block plus a sublane
+    roll (Mosaic requires 8-aligned sublane offsets).  pdf adds a static
+    side*C+class leading dim: (T, 2C, SC, 8, 128).
+    Returns (levels_tuple, (T, D, C)).
+    """
+    t, total, els = forest_flat.shape
+    d = int(np.log2(total + 1))
+    c = (els - 7) // 2
+    levels = []
+    for j in range(d):
+        lo, hi = (1 << j) - 1, (1 << (j + 1)) - 1
+        nodes = forest_flat[:, lo:hi, :]
+        g = hi - lo
+        n_chunks = (g + LANE - 1) // LANE
+        sc = (n_chunks + SUB - 1) // SUB
+        gpad = sc * SUB * LANE
+
+        def padded(x, dtype=np.float32):
+            out = np.zeros((t, gpad), dtype)
+            out[:, :g] = x
+            return out.reshape(t, sc, SUB, LANE)
+
+        ux = padded(nodes[:, :, 0])
+        uy = padded(nodes[:, :, 1])
+        vx = padded(nodes[:, :, 2])
+        vy = padded(nodes[:, :, 3])
+        th = padded(nodes[:, :, 4])
+        ln = padded(np.floor(nodes[:, :, 5]), np.int32)
+        rn = padded(np.floor(nodes[:, :, 6]), np.int32)
+        pdf = np.zeros((t, 2 * c, gpad), np.float32)
+        for s in range(2):
+            for k in range(c):
+                pdf[:, s * c + k, :g] = nodes[:, :, 7 + s * c + k]
+        pdf = pdf.reshape(t, 2 * c, sc, SUB, LANE)
+        levels.append(
+            tuple(jnp.asarray(a) for a in (ux, uy, vx, vy, th, ln, rn, pdf))
+        )
+    return tuple(levels), (t, d, c)
+
+
+def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
+                 write_all_eligible):
+    """Kernel body with static config baked in."""
+
+    def kernel(scale_ref, fc_ref, even_ref, odd_ref, dc_ref, filt_ref, *args):
+        tables = args[: depth_levels * 8]
+        out_ref = args[depth_levels * 8]
+
+        ty = pl.program_id(1)
+        tx = pl.program_id(2)
+        y0 = ty * SUB
+        x0 = tx * LANE
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+        y_px = (y0 + ii) * r
+        x_px = (x0 + jj) * r
+
+        d_center = dc_ref[0]
+        filt = filt_ref[0]
+        fc = fc_ref[0, 0]
+        scale = scale_ref[0, 0]
+
+        eligible = (d_center != 0) & (d_center != MAX_UINT16)
+        eligible &= (fc < 0) | (filt == fc)
+
+        df = d_center.astype(jnp.float32)
+        safe_df = jnp.where(df == 0.0, 1.0, df)
+        zero_center = df == 0.0
+
+        def gather_image(yy, xx, active):
+            """image[yy, xx] per lane (unpadded coords; OOB -> 65535 apron)."""
+            yc = jnp.clip(yy, -(PAD_Y - 2 * SUB), h + PAD_B - 2 * SUB - 1)
+            xc = jnp.clip(xx, -PAD_X, w + PAD_X - 1)
+            yc = jnp.where(active, yc, y_px)
+            xc = jnp.where(active, xc, x_px)
+            xp = xc + PAD_X
+            chunk = xp // LANE
+            lane_idx = xp - chunk * LANE
+
+            srow = yc + PAD_Y - r * ii  # padded-row block start per lane
+            s_lo = jnp.min(srow)
+            s_hi = jnp.max(srow)
+            c_lo = jnp.min(chunk)
+            c_hi = jnp.max(chunk)
+
+            def window(plane_ref, p, cix):
+                """(SUB, LANE) rows [p, p+8) of a plane: Mosaic requires
+                8-aligned sublane starts, so load an aligned 16-row block and
+                roll the residue away."""
+                p_al = pl.multiple_of((p // SUB) * SUB, SUB)
+                off = p - p_al
+                blk = plane_ref[
+                    0,
+                    pl.ds(p_al, 2 * SUB),
+                    pl.ds(pl.multiple_of(cix * LANE, LANE), LANE),
+                ]
+                return pltpu.roll(blk, -off, 0)[0:SUB]
+
+            def s_body(s, acc):
+                if r == 1:
+                    def c_body(cix, acc2):
+                        op = window(even_ref, s, cix)
+                        sel = (srow == s) & (chunk == cix)
+                        val = jnp.take_along_axis(op, lane_idx, axis=1)
+                        return jnp.where(sel, val, acc2)
+
+                    return jax.lax.fori_loop(c_lo, c_hi + 1, c_body, acc)
+                else:
+                    half = s // 2
+                    is_even = (s % 2) == 0
+
+                    def c_body(cix, acc2):
+                        op_e = window(even_ref, half, cix)
+                        op_o = window(odd_ref, half, cix)
+                        op = jnp.where(is_even, op_e, op_o)
+                        sel = (srow == s) & (chunk == cix)
+                        val = jnp.take_along_axis(op, lane_idx, axis=1)
+                        return jnp.where(sel, val, acc2)
+
+                    return jax.lax.fori_loop(c_lo, c_hi + 1, c_body, acc)
+
+            init = jnp.zeros((SUB, LANE), jnp.int32)
+            return jax.lax.fori_loop(s_lo, s_hi + 1, s_body, init)
+
+        def chunked_lookup(load_superchunk, g, active, dtype, num_nodes):
+            """Per-lane table[g].  ``load_superchunk(sc)`` returns the
+            (SUB, LANE) block holding chunks [sc*8, sc*8+8); chunk cix lives
+            at sublane cix % 8, so one roll exposes it at row 0.
+            ``num_nodes`` is static: levels with <= 128 nodes need no loop."""
+            gc = jnp.where(active, g, 0)
+            if num_nodes <= LANE:
+                row = load_superchunk(0)[0:1]
+                op = jnp.broadcast_to(row, (SUB, LANE))
+                return jnp.take_along_axis(op, gc, axis=1)
+
+            chunk = gc // LANE
+            lane_idx = gc - chunk * LANE
+            c_lo = jnp.min(chunk)
+            c_hi = jnp.max(chunk)
+
+            def body(cix, acc):
+                blk = load_superchunk(cix // SUB)
+                row = pltpu.roll(blk, -(cix % SUB), 0)[0:1]
+                op = jnp.broadcast_to(row, (SUB, LANE))
+                val = jnp.take_along_axis(op, lane_idx, axis=1)
+                return jnp.where(chunk == cix, val, acc)
+
+            init = jnp.zeros((SUB, LANE), dtype)
+            return jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
+
+        pdf_sum = [
+            jnp.zeros((SUB, LANE), jnp.float32) for _ in range(num_classes)
+        ]
+        all_done = jnp.ones((SUB, LANE), jnp.bool_)
+
+        for t in range(num_trees):
+            g = jnp.zeros((SUB, LANE), jnp.int32)
+            done = ~eligible
+            for j in range(depth_levels):
+                ux_r, uy_r, vx_r, vy_r, th_r, ln_r, rn_r, pdf_r = tables[
+                    j * 8 : (j + 1) * 8
+                ]
+                n_nodes = 1 << j
+
+                def level_fn(state):
+                    g, done_i, *pdfs = state
+                    active = done_i == 0
+
+                    def comp(ref):
+                        return chunked_lookup(
+                            lambda sc, _r=ref: _r[t, sc],
+                            g, active, ref.dtype, n_nodes,
+                        )
+
+                    ux, uy = comp(ux_r), comp(uy_r)
+                    vx, vy = comp(vx_r), comp(vy_r)
+                    th = comp(th_r)
+                    ln, rn = comp(ln_r), comp(rn_r)
+
+                    dux = jnp.floor(scale * ux / safe_df).astype(jnp.int32)
+                    duy = jnp.floor(scale * uy / safe_df).astype(jnp.int32)
+                    dvx = jnp.floor(scale * vx / safe_df).astype(jnp.int32)
+                    dvy = jnp.floor(scale * vy / safe_df).astype(jnp.int32)
+
+                    du = gather_image(y_px + duy, x_px + dux, active)
+                    dv = gather_image(y_px + dvy, x_px + dvx, active)
+                    f = du.astype(jnp.float32) - dv.astype(jnp.float32)
+                    f = jnp.where(zero_center, 0.0, f)
+
+                    left = f < th
+                    status = jnp.where(left, ln, rn)
+                    descend = status == -1
+                    hit = active & (~descend)
+
+                    def pdf_fn(pdfs_in):
+                        out = []
+                        for k in range(num_classes):
+                            val_l = chunked_lookup(
+                                lambda sc, _r=pdf_r, _k=k: _r[t, _k, sc],
+                                g, hit, jnp.float32, n_nodes,
+                            )
+                            val_r = chunked_lookup(
+                                lambda sc, _r=pdf_r, _k=k: _r[
+                                    t, num_classes + _k, sc
+                                ],
+                                g, hit, jnp.float32, n_nodes,
+                            )
+                            val = jnp.where(left, val_l, val_r)
+                            out.append(
+                                pdfs_in[k] + jnp.where(hit, val, 0.0)
+                            )
+                        return tuple(out)
+
+                    # 0/1-trip loop instead of cond: Mosaic can't legalize
+                    # scf.if with vector results, but dynamic-bound scf loops
+                    # are fine.
+                    pdfs = jax.lax.fori_loop(
+                        0,
+                        jnp.any(hit).astype(jnp.int32),
+                        lambda _, p: pdf_fn(p),
+                        tuple(pdfs),
+                    )
+
+                    g2 = jnp.where(
+                        active & descend, 2 * g + jnp.where(left, 0, 1), g
+                    )
+                    done2 = jnp.where(hit, 1, done_i)
+                    return (g2, done2) + tuple(pdfs)
+
+                # bool vectors don't legalize as scf loop carries; use i32
+                state = (g, done.astype(jnp.int32)) + tuple(pdf_sum)
+                state = jax.lax.fori_loop(
+                    0,
+                    jnp.any(~done).astype(jnp.int32),
+                    lambda _, s: level_fn(s),
+                    state,
+                )
+                g, done = state[0], state[1] != 0
+                pdf_sum = list(state[2:])
+            all_done = all_done & done
+
+        best_v = jnp.zeros((SUB, LANE), jnp.float32)
+        best_c = jnp.zeros((SUB, LANE), jnp.int32)
+        for k in range(num_classes):
+            better = pdf_sum[k] > best_v
+            best_v = jnp.where(better, pdf_sum[k], best_v)
+            best_c = jnp.where(better, k, best_c)
+
+        write = eligible if write_all_eligible else (eligible & all_done)
+        out_ref[0] = jnp.where(write, best_c, MAX_UINT16)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dims",
+        "labels_reduce",
+        "write_all_eligible",
+        "interpret",
+    ),
+)
+def _run_pallas(
+    depth_even, depth_odd, d_center, filt, scale, filter_class, tables_flat,
+    *, dims, labels_reduce, write_all_eligible, interpret,
+):
+    (n, h, w, hl_pad, wl_pad, num_trees, depth_levels, num_classes) = dims
+    r = labels_reduce
+
+    kernel = _make_kernel(
+        num_trees, depth_levels, num_classes, r, h, w, write_all_eligible
+    )
+
+    grid = (n, hl_pad // SUB, wl_pad // LANE)
+    plane_spec = pl.BlockSpec(
+        (1,) + depth_even.shape[1:],
+        lambda nn, ty, tx: (nn, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tile_spec = pl.BlockSpec(
+        (1, SUB, LANE), lambda nn, ty, tx: (nn, ty, tx),
+        memory_space=pltpu.VMEM,
+    )
+    table_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tables_flat
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            plane_spec,
+            pl.BlockSpec(
+                (1,) + depth_odd.shape[1:],
+                lambda nn, ty, tx: (nn, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            tile_spec,
+            tile_spec,
+            *table_specs,
+        ],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((n, hl_pad, wl_pad), jnp.int32),
+        interpret=interpret,
+    )(scale, filter_class, depth_even, depth_odd, d_center, filt, *tables_flat)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "meta",
+        "labels_reduce",
+        "filter_class",
+        "write_all_eligible",
+        "interpret",
+    ),
+)
+def evaluate_forest_pallas(
+    depth: jnp.ndarray,
+    packed_tables,
+    meta: Tuple[int, int, int],
+    *,
+    labels_reduce: int = 1,
+    filter_images: Optional[jnp.ndarray] = None,
+    filter_class: int = -1,
+    scale_factor=1.0,
+    write_all_eligible: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in fast path for :func:`ops.forest_eval.evaluate_forest`.
+
+    depth: (N, H, W) uint16; packed_tables/meta from :func:`pack_tables_pallas`.
+    Returns (N, H//r, W//r) uint16 labels (65535 where not evaluated).
+    """
+    num_trees, depth_levels, num_classes = meta
+    n, h, w = depth.shape
+    r = labels_reduce
+    hl, wl = h // r, w // r
+    hl_pad = ((hl + SUB - 1) // SUB) * SUB
+    wl_pad = ((wl + LANE - 1) // LANE) * LANE
+
+    di = depth.astype(jnp.int32)
+    padded = jnp.pad(
+        di,
+        ((0, 0), (PAD_Y, PAD_B + 2 * SUB), (PAD_X, PAD_X + LANE)),
+        constant_values=MAX_UINT16,
+    )
+    if r == 2:
+        depth_even = padded[:, 0::2, :]
+        depth_odd = padded[:, 1::2, :]
+    else:
+        depth_even = padded
+        depth_odd = padded
+
+    d_center = jnp.pad(
+        di[:, ::r, ::r], ((0, 0), (0, hl_pad - hl), (0, wl_pad - wl))
+    )
+    if filter_images is not None:
+        filt = jnp.pad(
+            filter_images.astype(jnp.int32),
+            ((0, 0), (0, hl_pad - hl), (0, wl_pad - wl)),
+        )
+        fc = jnp.full((1, 1), filter_class, jnp.int32)
+    else:
+        filt = jnp.zeros_like(d_center)
+        fc = jnp.full((1, 1), -1, jnp.int32)
+
+    tables_flat = []
+    for lvl in packed_tables:
+        tables_flat.extend(lvl)
+
+    dims = (n, h, w, hl_pad, wl_pad, num_trees, depth_levels, num_classes)
+    out = _run_pallas(
+        depth_even,
+        depth_odd,
+        d_center,
+        filt,
+        jnp.full((1, 1), scale_factor, jnp.float32),
+        fc,
+        tuple(tables_flat),
+        dims=dims,
+        labels_reduce=r,
+        write_all_eligible=write_all_eligible,
+        interpret=interpret,
+    )
+    return out[:, :hl, :wl].astype(jnp.uint16)

@@ -83,7 +83,9 @@ def _fingertip_heights(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "filter_specs", "num_layered_classes"),
+    static_argnames=(
+        "cfg", "filter_specs", "num_layered_classes", "backend", "metas"
+    ),
 )
 def frame_step(
     raw_depth: jnp.ndarray,
@@ -101,6 +103,8 @@ def frame_step(
     cfg: PipelineConfig,
     filter_specs: Tuple,
     num_layered_classes: int,
+    backend: str = "xla",
+    metas: Tuple = None,
 ):
     """One full frame -> fingertips, as a single XLA program.
 
@@ -144,6 +148,8 @@ def frame_step(
         filter_specs=filter_specs,
         labels_reduce=cfgv.labels_reduce,
         scale_factor=scale_factor,
+        backend=backend,
+        metas=metas,
     )
     # Un-mirror the left hand's labels back into screen space (3d_bz.py:439-446).
     labels = jnp.stack([labels[0], points.flip_x(labels[1])])
@@ -191,6 +197,7 @@ class FramePipeline:
         mean_shift_variances: Optional[np.ndarray] = None,
         plane_z_threshold: float = 40.0,   # 3d_bz.py:54
         group_min_size: float = 0.06,      # 3d_bz.py:63
+        backend: str = "auto",             # "pallas" on TPU, "xla" elsewhere
     ):
         self.model = model
         self.intrin = intrinsics
@@ -208,7 +215,15 @@ class FramePipeline:
         )
         self.plane_z_threshold = plane_z_threshold
         self.group_min_size = group_min_size
-        self._tables = model.layer_tables()
+        if backend == "auto":
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        self.backend = backend
+        if backend == "pallas":
+            self._tables = model.layer_tables_pallas()
+            self._metas = model.layer_metas()
+        else:
+            self._tables = model.layer_tables()
+            self._metas = None
         self._filter_specs = tuple(
             (l.filter_model, l.filter_model_class) for l in model.layers
         )
@@ -229,4 +244,6 @@ class FramePipeline:
             cfg=self.cfg,
             filter_specs=self._filter_specs,
             num_layered_classes=self.model.num_layered_classes,
+            backend=self.backend,
+            metas=self._metas,
         )
