@@ -51,6 +51,8 @@ class LayeredDecisionForest:
     label_colors: np.ndarray  # (num_layered_classes, 4) uint8
     num_layered_classes: int
     labels_reduce: int = 1
+    conditions_np: Optional[np.ndarray] = None
+    _cond_packed: Optional[tuple] = None
 
     @staticmethod
     def load(config_path: str, labels_reduce: int = 1) -> "LayeredDecisionForest":
@@ -85,6 +87,7 @@ class LayeredDecisionForest:
             label_colors=label_colors,
             num_layered_classes=num_layered_classes,
             labels_reduce=labels_reduce,
+            conditions_np=conditions,
         )
 
     def layer_tables(self) -> Tuple:
@@ -99,6 +102,14 @@ class LayeredDecisionForest:
                 l.pallas_tables = forest_eval_pallas.pack_tables_pallas(l.flat)
             out.append(l.pallas_tables[0])
         return tuple(out)
+
+    def conditions_packed(self) -> tuple:
+        """Kernel-layout conditions tables for the fused Pallas path."""
+        if self._cond_packed is None:
+            self._cond_packed = forest_eval_pallas._pack_conditions(
+                np.asarray(self.conditions_np)
+            )
+        return self._cond_packed
 
     def layer_metas(self) -> Tuple:
         """Static (T, D, C) per layer for the Pallas backend."""
@@ -117,17 +128,27 @@ class LayeredDecisionForest:
             self.layer_tables_pallas() if backend == "pallas"
             else self.layer_tables()
         )
+        fspecs = tuple(
+            (l.filter_model, l.filter_model_class) for l in self.layers
+        )
+        if backend == "pallas":
+            return forest_eval_pallas.evaluate_layered_pallas(
+                depth,
+                self.layer_tables_pallas(),
+                self.layer_metas(),
+                self.conditions_packed(),
+                int(np.asarray(self.conditions_np).shape[0]),
+                filter_specs=fspecs,
+                labels_reduce=self.labels_reduce,
+                scale_factor=scale_factor,
+            )
         return run_layered(
             depth,
             tables,
             self.conditions,
-            filter_specs=tuple(
-                (l.filter_model, l.filter_model_class) for l in self.layers
-            ),
+            filter_specs=fspecs,
             labels_reduce=self.labels_reduce,
             scale_factor=scale_factor,
-            backend=backend,
-            metas=self.layer_metas() if backend == "pallas" else None,
         )
 
 
@@ -141,24 +162,28 @@ def run_layered(
     scale_factor=1.0,
     backend: str = "xla",
     metas: Optional[Tuple] = None,
+    conditions_packed=None,
+    num_cond: Optional[int] = None,
 ) -> jnp.ndarray:
     """Functional layered-forest forward pass (jit-traceable; call under jit).
 
     filter_specs: static tuple of (filter_model_index | None, filter_class |
-    None).  backend: "xla" (vectorized evaluator) or "pallas" (the fused TPU
-    kernel, ~50x faster on hardware; ``metas`` carries its static (T, D, C)).
+    None).  backend "pallas" dispatches to the fused single-kernel path
+    (all layers + composite in one grid pass, ~50x faster on hardware);
+    "xla" runs the vectorized evaluator layer by layer.
     """
+    if backend == "pallas":
+        return forest_eval_pallas.evaluate_layered_pallas(
+            depth, layer_tables, metas, conditions_packed, num_cond,
+            filter_specs=filter_specs, labels_reduce=labels_reduce,
+            scale_factor=scale_factor,
+        )
     label_images = []
     for i, (tables, (fm, fc)) in enumerate(zip(layer_tables, filter_specs)):
         kw = dict(labels_reduce=labels_reduce, scale_factor=scale_factor)
         if fm is not None:
             kw.update(filter_images=label_images[fm], filter_class=int(fc))
-        if backend == "pallas":
-            labels = forest_eval_pallas.evaluate_forest_pallas(
-                depth, tables, metas[i], **kw
-            )
-        else:
-            labels = forest_eval.evaluate_forest(depth, tables, **kw)
+        labels = forest_eval.evaluate_forest(depth, tables, **kw)
         label_images.append(labels)
 
     stacked = jnp.stack(label_images, axis=0)  # (M, N, Hl, Wl)

@@ -64,11 +64,20 @@ def label_components(mask: jnp.ndarray) -> jnp.ndarray:
 
     def body(state):
         lab0, _ = state
-        m = neighbor_min(lab0)
-        # hook: root(i) adopts the smallest label seen in i's neighborhood
-        tgt = jnp.where(mask_flat, lab0[:n], big)
-        lab = lab0.at[tgt].min(m)
-        # compress twice: lab <- lab[lab]
+        # Several cheap elementwise min-propagation rounds (pure shifts, no
+        # gathers/scatters — fast on the VPU) ...
+        lab_img = lab0
+        for _ in range(8):
+            m = neighbor_min(lab_img)
+            lab_img = jnp.concatenate(
+                [m, jnp.array([n], jnp.int32)]
+            )
+        lab = lab_img
+        # ... then one hook + two path compressions to keep adversarial
+        # topologies (long serpentines) converging in O(log) rounds.
+        m = neighbor_min(lab)
+        tgt = jnp.where(mask_flat, lab[:n], big)
+        lab = lab.at[tgt].min(m)
         lab = lab[lab]
         lab = lab[lab]
         return lab, jnp.any(lab != lab0)

@@ -94,36 +94,20 @@ def pack_tables_pallas(forest_flat: np.ndarray):
     return tuple(levels), (t, d, c)
 
 
-def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
-                 write_all_eligible):
-    """Kernel body with static config baked in."""
+def _tile_context(even_ref, odd_ref, r, h, w):
+    """Per-tile coordinate grids + the two gather primitives, shared by the
+    single-forest and fused-layered kernels."""
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    y0 = ty * SUB
+    x0 = tx * LANE
 
-    def kernel(scale_ref, fc_ref, even_ref, odd_ref, dc_ref, filt_ref, *args):
-        tables = args[: depth_levels * 8]
-        out_ref = args[depth_levels * 8]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+    y_px = (y0 + ii) * r
+    x_px = (x0 + jj) * r
 
-        ty = pl.program_id(1)
-        tx = pl.program_id(2)
-        y0 = ty * SUB
-        x0 = tx * LANE
-
-        ii = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-        y_px = (y0 + ii) * r
-        x_px = (x0 + jj) * r
-
-        d_center = dc_ref[0]
-        filt = filt_ref[0]
-        fc = fc_ref[0, 0]
-        scale = scale_ref[0, 0]
-
-        eligible = (d_center != 0) & (d_center != MAX_UINT16)
-        eligible &= (fc < 0) | (filt == fc)
-
-        df = d_center.astype(jnp.float32)
-        safe_df = jnp.where(df == 0.0, 1.0, df)
-        zero_center = df == 0.0
-
+    if True:
         def gather_image(yy, xx, active):
             """image[yy, xx] per lane (unpadded coords; OOB -> 65535 apron)."""
             yc = jnp.clip(yy, -(PAD_Y - 2 * SUB), h + PAD_B - 2 * SUB - 1)
@@ -205,11 +189,20 @@ def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
             init = jnp.zeros((SUB, LANE), dtype)
             return jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
 
-        pdf_sum = [
-            jnp.zeros((SUB, LANE), jnp.float32) for _ in range(num_classes)
-        ]
-        all_done = jnp.ones((SUB, LANE), jnp.bool_)
+    return y_px, x_px, gather_image, chunked_lookup
 
+
+def _traverse_tile(tables, num_trees, depth_levels, num_classes, eligible,
+                   safe_df, zero_center, scale, y_px, x_px,
+                   gather_image, chunked_lookup):
+    """Level-synchronous traversal of one (8, 128) tile through one forest;
+    returns (argmax class, all-trees-done mask)."""
+    pdf_sum = [
+        jnp.zeros((SUB, LANE), jnp.float32) for _ in range(num_classes)
+    ]
+    all_done = jnp.ones((SUB, LANE), jnp.bool_)
+
+    if True:
         for t in range(num_trees):
             g = jnp.zeros((SUB, LANE), jnp.int32)
             done = ~eligible
@@ -296,13 +289,43 @@ def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
                 pdf_sum = list(state[2:])
             all_done = all_done & done
 
-        best_v = jnp.zeros((SUB, LANE), jnp.float32)
-        best_c = jnp.zeros((SUB, LANE), jnp.int32)
-        for k in range(num_classes):
-            better = pdf_sum[k] > best_v
-            best_v = jnp.where(better, pdf_sum[k], best_v)
-            best_c = jnp.where(better, k, best_c)
+    best_v = jnp.zeros((SUB, LANE), jnp.float32)
+    best_c = jnp.zeros((SUB, LANE), jnp.int32)
+    for k in range(num_classes):
+        better = pdf_sum[k] > best_v
+        best_v = jnp.where(better, pdf_sum[k], best_v)
+        best_c = jnp.where(better, k, best_c)
+    return best_c, all_done
 
+
+def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
+                 write_all_eligible):
+    """Single-forest kernel body with static config baked in."""
+
+    def kernel(scale_ref, fc_ref, even_ref, odd_ref, dc_ref, filt_ref, *args):
+        tables = args[: depth_levels * 8]
+        out_ref = args[depth_levels * 8]
+
+        y_px, x_px, gather_image, chunked_lookup = _tile_context(
+            even_ref, odd_ref, r, h, w
+        )
+        d_center = dc_ref[0]
+        filt = filt_ref[0]
+        fc = fc_ref[0, 0]
+        scale = scale_ref[0, 0]
+
+        eligible = (d_center != 0) & (d_center != MAX_UINT16)
+        eligible &= (fc < 0) | (filt == fc)
+
+        df = d_center.astype(jnp.float32)
+        safe_df = jnp.where(df == 0.0, 1.0, df)
+        zero_center = df == 0.0
+
+        best_c, all_done = _traverse_tile(
+            tables, num_trees, depth_levels, num_classes, eligible,
+            safe_df, zero_center, scale, y_px, x_px,
+            gather_image, chunked_lookup,
+        )
         write = eligible if write_all_eligible else (eligible & all_done)
         out_ref[0] = jnp.where(write, best_c, MAX_UINT16)
 
@@ -442,5 +465,194 @@ def evaluate_forest_pallas(
         labels_reduce=r,
         write_all_eligible=write_all_eligible,
         interpret=interpret,
+    )
+    return out[:, :hl, :wl].astype(jnp.uint16)
+
+
+# ---------------------------------------------------------------------------
+# fused layered evaluation: all layers + composite in ONE kernel
+# ---------------------------------------------------------------------------
+
+def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond):
+    """Kernel running every layer's forest over one tile (each layer filtered
+    by an earlier layer's in-register labels) and walking the conditions
+    table — the whole LayeredDecisionForest.run + make_composite_labels_image
+    (tree_eval.cu:214-248) in a single grid pass."""
+    def kernel(scale_ref, even_ref, odd_ref, dc_ref, *args):
+        pos = 0
+        layer_tables = []
+        for (t, d, c) in metas:
+            layer_tables.append(args[pos : pos + d * 8])
+            pos += d * 8
+        cond_flag_ref = args[pos]
+        cond_val_ref = args[pos + 1]
+        out_ref = args[pos + 2]
+
+        y_px, x_px, gather_image, chunked_lookup = _tile_context(
+            even_ref, odd_ref, r, h, w
+        )
+        d_center = dc_ref[0]
+        scale = scale_ref[0, 0]
+
+        base_eligible = (d_center != 0) & (d_center != MAX_UINT16)
+        df = d_center.astype(jnp.float32)
+        safe_df = jnp.where(df == 0.0, 1.0, df)
+        zero_center = df == 0.0
+
+        labels = []
+        for i, ((t, d, c), (fm, fc)) in enumerate(zip(metas, filter_specs)):
+            eligible = base_eligible
+            if fm is not None:
+                eligible = eligible & (labels[fm] == fc)
+            best_c, _ = _traverse_tile(
+                layer_tables[i], t, d, c, eligible,
+                safe_df, zero_center, scale, y_px, x_px,
+                gather_image, chunked_lookup,
+            )
+            labels.append(jnp.where(eligible, best_c, MAX_UINT16))
+
+        # composite walk (reference conditions semantics,
+        # decision_tree.py:209-225)
+        def cond_lookup(ref, idx):
+            # conditions live in row 0 of a (SUB, LANE) block
+            return chunked_lookup(
+                lambda sc, _r=ref: _r[...], idx,
+                jnp.ones((SUB, LANE), jnp.bool_), jnp.int32, num_cond,
+            )
+
+        offset = jnp.zeros((SUB, LANE), jnp.int32)
+        out = jnp.full((SUB, LANE), MAX_UINT16, jnp.int32)
+        done = jnp.zeros((SUB, LANE), jnp.bool_)
+        for i in range(len(metas)):
+            l = labels[i]
+            invalid = (l == 0) | (l == MAX_UINT16)
+            row_idx = jnp.clip(offset + l - 1, 0, num_cond - 1)
+            flag = cond_lookup(cond_flag_ref, row_idx)
+            val = cond_lookup(cond_val_ref, row_idx)
+            active = (~done) & (~invalid)
+            emit = active & (flag == 0)
+            out = jnp.where(emit, val, out)
+            offset = jnp.where(active & (flag == 1), val, offset)
+            done = done | invalid | emit
+
+        out_ref[0] = out
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dims", "metas", "filter_specs", "labels_reduce", "interpret"
+    ),
+)
+def _run_layered_pallas(
+    depth_even, depth_odd, d_center, scale, tables_flat,
+    cond_flag, cond_val,
+    *, dims, metas, filter_specs, labels_reduce, interpret,
+):
+    (n, h, w, hl_pad, wl_pad, num_cond) = dims
+    r = labels_reduce
+    kernel = _make_layered_kernel(metas, filter_specs, r, h, w, num_cond)
+
+    grid = (n, hl_pad // SUB, wl_pad // LANE)
+    plane_spec = pl.BlockSpec(
+        (1,) + depth_even.shape[1:], lambda nn, ty, tx: (nn, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tile_spec = pl.BlockSpec(
+        (1, SUB, LANE), lambda nn, ty, tx: (nn, ty, tx),
+        memory_space=pltpu.VMEM,
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            plane_spec,
+            pl.BlockSpec(
+                (1,) + depth_odd.shape[1:], lambda nn, ty, tx: (nn, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            tile_spec,
+            *[vm for _ in tables_flat],
+            vm,
+            vm,
+        ],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((n, hl_pad, wl_pad), jnp.int32),
+        interpret=interpret,
+    )(scale, depth_even, depth_odd, d_center, *tables_flat, cond_flag,
+      cond_val)
+
+
+def _pack_conditions(conditions: np.ndarray):
+    """conditions (K, 2) -> two (SUB, LANE) superchunk-row-0 arrays."""
+    k = conditions.shape[0]
+    assert k <= LANE, "conditions tables beyond 128 rows unsupported in-kernel"
+    flag = np.zeros((SUB, LANE), np.int32)
+    val = np.zeros((SUB, LANE), np.int32)
+    flag[0, :k] = conditions[:, 0]
+    val[0, :k] = conditions[:, 1]
+    return jnp.asarray(flag), jnp.asarray(val)
+
+
+def evaluate_layered_pallas(
+    depth: jnp.ndarray,
+    layer_tables: tuple,
+    metas: tuple,
+    conditions_packed,
+    num_cond: int,
+    *,
+    filter_specs: tuple,
+    labels_reduce: int = 1,
+    scale_factor=1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """All layers + composite in one fused kernel.
+
+    layer_tables/metas: per-layer outputs of :func:`pack_tables_pallas`;
+    conditions_packed: output of :func:`_pack_conditions` (host-side, once
+    per model); num_cond: static conditions-table row count; filter_specs as
+    in models.layered.run_layered.  Returns (N, H//r, W//r) uint16 composite.
+    """
+    n, h, w = depth.shape
+    r = labels_reduce
+    hl, wl = h // r, w // r
+    hl_pad = ((hl + SUB - 1) // SUB) * SUB
+    wl_pad = ((wl + LANE - 1) // LANE) * LANE
+
+    di = depth.astype(jnp.int32)
+    padded = jnp.pad(
+        di,
+        ((0, 0), (PAD_Y, PAD_B + 2 * SUB), (PAD_X, PAD_X + LANE)),
+        constant_values=MAX_UINT16,
+    )
+    if r == 2:
+        depth_even = padded[:, 0::2, :]
+        depth_odd = padded[:, 1::2, :]
+    else:
+        depth_even = padded
+        depth_odd = padded
+
+    d_center = jnp.pad(
+        di[:, ::r, ::r], ((0, 0), (0, hl_pad - hl), (0, wl_pad - wl))
+    )
+
+    cond_flag, cond_val = conditions_packed
+    tables_flat = []
+    for lvl_tables in layer_tables:
+        for lvl in lvl_tables:
+            tables_flat.extend(lvl)
+
+    dims = (n, h, w, hl_pad, wl_pad, num_cond)
+    out = _run_layered_pallas(
+        depth_even, depth_odd, d_center,
+        jnp.full((1, 1), scale_factor, jnp.float32),
+        tuple(tables_flat), cond_flag, cond_val,
+        dims=dims, metas=tuple(metas), filter_specs=tuple(filter_specs),
+        labels_reduce=r, interpret=interpret,
     )
     return out[:, :hl, :wl].astype(jnp.uint16)

@@ -84,7 +84,8 @@ def _fingertip_heights(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "filter_specs", "num_layered_classes", "backend", "metas"
+        "cfg", "filter_specs", "num_layered_classes", "backend", "metas",
+        "num_cond",
     ),
 )
 def frame_step(
@@ -105,6 +106,8 @@ def frame_step(
     num_layered_classes: int,
     backend: str = "xla",
     metas: Tuple = None,
+    conditions_packed=None,
+    num_cond: int = None,
 ):
     """One full frame -> fingertips, as a single XLA program.
 
@@ -150,6 +153,8 @@ def frame_step(
         scale_factor=scale_factor,
         backend=backend,
         metas=metas,
+        conditions_packed=conditions_packed,
+        num_cond=num_cond,
     )
     # Un-mirror the left hand's labels back into screen space (3d_bz.py:439-446).
     labels = jnp.stack([labels[0], points.flip_x(labels[1])])
@@ -221,9 +226,13 @@ class FramePipeline:
         if backend == "pallas":
             self._tables = model.layer_tables_pallas()
             self._metas = model.layer_metas()
+            self._cond_packed = model.conditions_packed()
+            self._num_cond = int(np.asarray(model.conditions_np).shape[0])
         else:
             self._tables = model.layer_tables()
             self._metas = None
+            self._cond_packed = None
+            self._num_cond = None
         self._filter_specs = tuple(
             (l.filter_model, l.filter_model_class) for l in model.layers
         )
@@ -246,4 +255,6 @@ class FramePipeline:
             num_layered_classes=self.model.num_layered_classes,
             backend=self.backend,
             metas=self._metas,
+            conditions_packed=self._cond_packed,
+            num_cond=self._num_cond,
         )

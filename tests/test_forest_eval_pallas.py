@@ -83,18 +83,18 @@ def test_layered_backends_agree(tmp_path, rng):
 
     with jax.disable_jit(False):
         a = np.asarray(ldf.run(depth, backend="xla"))
-    # pallas backend in interpret mode via monkeypatched flag
+    # fused pallas backend in interpret mode via monkeypatched flag
     from beats3d_tpu.models import layered as layered_mod
 
-    orig = fep.evaluate_forest_pallas
+    orig = fep.evaluate_layered_pallas
 
     def interp(*args, **kw):
         kw["interpret"] = True
         return orig(*args, **kw)
 
-    layered_mod.forest_eval_pallas.evaluate_forest_pallas = interp
+    layered_mod.forest_eval_pallas.evaluate_layered_pallas = interp
     try:
         b = np.asarray(ldf.run(depth, backend="pallas"))
     finally:
-        layered_mod.forest_eval_pallas.evaluate_forest_pallas = orig
+        layered_mod.forest_eval_pallas.evaluate_layered_pallas = orig
     np.testing.assert_array_equal(a, b)
