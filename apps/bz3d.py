@@ -18,6 +18,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from beats3d_tpu.models import LayeredDecisionForest
+from beats3d_tpu.utils import enable_compilation_cache
 from beats3d_tpu.runtime import camera
 from beats3d_tpu.runtime.app import AppConfig, BeatsApp
 from beats3d_tpu.runtime.midi import Midi
@@ -34,6 +35,10 @@ def main():
     camera.add_args(parser)
     args = parser.parse_args()
 
+    try:
+        enable_compilation_cache()
+    except Exception:
+        pass
     cfg = AppConfig(plane_num_iterations=args.plane_num_iterations)
     source = camera.open_source(args)
     model = LayeredDecisionForest.load(args.cfg, labels_reduce=cfg.labels_reduce)

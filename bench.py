@@ -21,6 +21,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        from beats3d_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()
+    except Exception:
+        pass
+
     from __graft_entry__ import entry
 
     fn, (depth, plane_mat) = entry()

@@ -67,3 +67,40 @@ def test_live_data_convert_end_to_end(tmp_path, rng):
     assert (labels > 0).sum() > 100  # the hand got labeled
     assert set(np.unique(labels)).issubset({0, 1, 2, 3})
     assert (depth != 0).all()  # written with 65535 sentinel for missing
+
+
+def test_compressed_blocks_roundtrip(rng):
+    from beats3d_tpu.data.blocks import (
+        CompressedBlocksDynamic, CompressedDataset,
+    )
+    from beats3d_tpu.data.dataset import ArrayDataset
+    import fixtures
+
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=4, h=16, w=24)
+    ds = ArrayDataset(depth, labels, 4, images_per_block=2)
+    cds = CompressedDataset(ds)
+    np.testing.assert_array_equal(cds.get_depth_block(1), depth[2:4])
+    np.testing.assert_array_equal(cds.get_labels_block(0), labels[0:2])
+    assert cds.depth.compression_ratio > 2.0
+
+    dyn = CompressedBlocksDynamic(2, 2, (24, 16))
+    arr = rng.integers(-1, 100, (2, 16, 24)).astype(np.int32)
+    dyn.write_block(1, arr)
+    np.testing.assert_array_equal(dyn.get_block(1), arr)
+    assert (dyn.get_block(0) == 0).all()
+
+
+def test_compressed_dataset_trains(rng):
+    from beats3d_tpu.data.blocks import CompressedDataset
+    from beats3d_tpu.data.dataset import ArrayDataset
+    from beats3d_tpu.models.forest import DecisionTree
+    from beats3d_tpu.train import DecisionTreeTrainer
+    import fixtures
+
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=2, h=16, w=24)
+    cds = CompressedDataset(ArrayDataset(depth, labels, 4))
+    trainer = DecisionTreeTrainer(2, 8)
+    trainer.allocate(cds, 8, 3)
+    tree = DecisionTree(3, 4)
+    trainer.train(cds, tree, rng=np.random.default_rng(0))
+    assert np.abs(tree.data).sum() > 0
