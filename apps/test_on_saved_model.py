@@ -31,6 +31,8 @@ def main():
                         help="Directory to save output renderings")
     parser.add_argument("--test", required=True, type=int,
                         help="Num images to evaluate")
+    parser.add_argument("--backend", choices=["xla", "pallas"], default="xla",
+                        help="pallas = fused TPU kernel")
     args = parser.parse_args()
 
     print("loading forest")
@@ -43,9 +45,17 @@ def main():
     labels = dataset.get_labels_block(0)
 
     print("evaluating forest..")
-    pred = np.asarray(
-        forest_eval.evaluate_forest(jnp.asarray(depth), packed.tables())
-    )
+    if args.backend == "pallas":
+        from beats3d_tpu.ops import forest_eval_pallas as fep
+
+        tables, meta = fep.pack_tables_pallas(forest.data)
+        pred = np.asarray(
+            fep.evaluate_forest_pallas(jnp.asarray(depth), tables, meta)
+        )
+    else:
+        pred = np.asarray(
+            forest_eval.evaluate_forest(jnp.asarray(depth), packed.tables())
+        )
 
     pct_match = np.sum(pred == labels) / np.sum(labels > 0)
     print("FOREST pct. matching pixels: ", pct_match)

@@ -108,21 +108,28 @@ def _tile_context(even_ref, odd_ref, r, h, w):
     x_px = (x0 + jj) * r
 
     if True:
-        def gather_image(yy, xx, active):
-            """image[yy, xx] per lane (unpadded coords; OOB -> 65535 apron)."""
-            yc = jnp.clip(yy, -(PAD_Y - 2 * SUB), h + PAD_B - 2 * SUB - 1)
-            xc = jnp.clip(xx, -PAD_X, w + PAD_X - 1)
-            yc = jnp.where(active, yc, y_px)
-            xc = jnp.where(active, xc, x_px)
-            xp = xc + PAD_X
-            chunk = xp // LANE
-            lane_idx = xp - chunk * LANE
+        def gather_image_pair(yyu, xxu, yyv, xxv, active):
+            """Both probes' image values in ONE (row-start, chunk) sweep:
+            the u and v candidate ranges are unioned so each window load
+            serves two shuffles (unpadded coords; OOB -> 65535 apron)."""
+            def prep(yy, xx):
+                yc = jnp.clip(yy, -(PAD_Y - 2 * SUB), h + PAD_B - 2 * SUB - 1)
+                xc = jnp.clip(xx, -PAD_X, w + PAD_X - 1)
+                yc = jnp.where(active, yc, y_px)
+                xc = jnp.where(active, xc, x_px)
+                xp = xc + PAD_X
+                chunk = xp // LANE
+                lane_idx = xp - chunk * LANE
+                srow = yc + PAD_Y - r * ii  # padded-row block start per lane
+                return srow, chunk, lane_idx
 
-            srow = yc + PAD_Y - r * ii  # padded-row block start per lane
-            s_lo = jnp.min(srow)
-            s_hi = jnp.max(srow)
-            c_lo = jnp.min(chunk)
-            c_hi = jnp.max(chunk)
+            srow_u, chunk_u, lane_u = prep(yyu, xxu)
+            srow_v, chunk_v, lane_v = prep(yyv, xxv)
+
+            s_lo = jnp.minimum(jnp.min(srow_u), jnp.min(srow_v))
+            s_hi = jnp.maximum(jnp.max(srow_u), jnp.max(srow_v))
+            c_lo = jnp.minimum(jnp.min(chunk_u), jnp.min(chunk_v))
+            c_hi = jnp.maximum(jnp.max(chunk_u), jnp.max(chunk_v))
 
             def window(plane_ref, p, cix):
                 """(SUB, LANE) rows [p, p+8) of a plane: Mosaic requires
@@ -137,30 +144,39 @@ def _tile_context(even_ref, odd_ref, r, h, w):
                 ]
                 return pltpu.roll(blk, -off, 0)[0:SUB]
 
-            def s_body(s, acc):
+            def s_body(s, accs):
                 if r == 1:
-                    def c_body(cix, acc2):
+                    def c_body(cix, accs2):
+                        au, av = accs2
                         op = window(even_ref, s, cix)
-                        sel = (srow == s) & (chunk == cix)
-                        val = jnp.take_along_axis(op, lane_idx, axis=1)
-                        return jnp.where(sel, val, acc2)
+                        sel_u = (srow_u == s) & (chunk_u == cix)
+                        sel_v = (srow_v == s) & (chunk_v == cix)
+                        vu = jnp.take_along_axis(op, lane_u, axis=1)
+                        vv = jnp.take_along_axis(op, lane_v, axis=1)
+                        return (jnp.where(sel_u, vu, au),
+                                jnp.where(sel_v, vv, av))
 
-                    return jax.lax.fori_loop(c_lo, c_hi + 1, c_body, acc)
+                    return jax.lax.fori_loop(c_lo, c_hi + 1, c_body, accs)
                 else:
                     half = s // 2
                     is_even = (s % 2) == 0
 
-                    def c_body(cix, acc2):
+                    def c_body(cix, accs2):
+                        au, av = accs2
                         op_e = window(even_ref, half, cix)
                         op_o = window(odd_ref, half, cix)
                         op = jnp.where(is_even, op_e, op_o)
-                        sel = (srow == s) & (chunk == cix)
-                        val = jnp.take_along_axis(op, lane_idx, axis=1)
-                        return jnp.where(sel, val, acc2)
+                        sel_u = (srow_u == s) & (chunk_u == cix)
+                        sel_v = (srow_v == s) & (chunk_v == cix)
+                        vu = jnp.take_along_axis(op, lane_u, axis=1)
+                        vv = jnp.take_along_axis(op, lane_v, axis=1)
+                        return (jnp.where(sel_u, vu, au),
+                                jnp.where(sel_v, vv, av))
 
-                    return jax.lax.fori_loop(c_lo, c_hi + 1, c_body, acc)
+                    return jax.lax.fori_loop(c_lo, c_hi + 1, c_body, accs)
 
-            init = jnp.zeros((SUB, LANE), jnp.int32)
+            init = (jnp.zeros((SUB, LANE), jnp.int32),
+                    jnp.zeros((SUB, LANE), jnp.int32))
             return jax.lax.fori_loop(s_lo, s_hi + 1, s_body, init)
 
         def chunked_lookup(load_superchunk, g, active, dtype, num_nodes):
@@ -189,12 +205,12 @@ def _tile_context(even_ref, odd_ref, r, h, w):
             init = jnp.zeros((SUB, LANE), dtype)
             return jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
 
-    return y_px, x_px, gather_image, chunked_lookup
+    return y_px, x_px, gather_image_pair, chunked_lookup
 
 
 def _traverse_tile(tables, num_trees, depth_levels, num_classes, eligible,
                    safe_df, zero_center, scale, y_px, x_px,
-                   gather_image, chunked_lookup):
+                   gather_image_pair, chunked_lookup):
     """Level-synchronous traversal of one (8, 128) tile through one forest;
     returns (argmax class, all-trees-done mask)."""
     pdf_sum = [
@@ -232,8 +248,9 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, eligible,
                     dvx = jnp.floor(scale * vx / safe_df).astype(jnp.int32)
                     dvy = jnp.floor(scale * vy / safe_df).astype(jnp.int32)
 
-                    du = gather_image(y_px + duy, x_px + dux, active)
-                    dv = gather_image(y_px + dvy, x_px + dvx, active)
+                    du, dv = gather_image_pair(
+                        y_px + duy, x_px + dux, y_px + dvy, x_px + dvx, active
+                    )
                     f = du.astype(jnp.float32) - dv.astype(jnp.float32)
                     f = jnp.where(zero_center, 0.0, f)
 
@@ -306,7 +323,7 @@ def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
         tables = args[: depth_levels * 8]
         out_ref = args[depth_levels * 8]
 
-        y_px, x_px, gather_image, chunked_lookup = _tile_context(
+        y_px, x_px, gather_image_pair, chunked_lookup = _tile_context(
             even_ref, odd_ref, r, h, w
         )
         d_center = dc_ref[0]
@@ -324,7 +341,7 @@ def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
         best_c, all_done = _traverse_tile(
             tables, num_trees, depth_levels, num_classes, eligible,
             safe_df, zero_center, scale, y_px, x_px,
-            gather_image, chunked_lookup,
+            gather_image_pair, chunked_lookup,
         )
         write = eligible if write_all_eligible else (eligible & all_done)
         out_ref[0] = jnp.where(write, best_c, MAX_UINT16)
@@ -488,7 +505,7 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond):
         cond_val_ref = args[pos + 1]
         out_ref = args[pos + 2]
 
-        y_px, x_px, gather_image, chunked_lookup = _tile_context(
+        y_px, x_px, gather_image_pair, chunked_lookup = _tile_context(
             even_ref, odd_ref, r, h, w
         )
         d_center = dc_ref[0]
@@ -507,7 +524,7 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond):
             best_c, _ = _traverse_tile(
                 layer_tables[i], t, d, c, eligible,
                 safe_df, zero_center, scale, y_px, x_px,
-                gather_image, chunked_lookup,
+                gather_image_pair, chunked_lookup,
             )
             labels.append(jnp.where(eligible, best_c, MAX_UINT16))
 
