@@ -616,6 +616,12 @@ def _pack_conditions(conditions: np.ndarray):
     return jnp.asarray(flag), jnp.asarray(val)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metas", "num_cond", "filter_specs", "labels_reduce", "interpret"
+    ),
+)
 def evaluate_layered_pallas(
     depth: jnp.ndarray,
     layer_tables: tuple,
