@@ -37,9 +37,13 @@ def main():
         args.plane_num_iterations, args.plane_z_threshold
     )
 
-    it = source.frames()
-    for _ in range(15):
-        frame = next(it)
+    # skip camera warm-up frames, but tolerate short recorded sessions
+    frame = None
+    for i, frame in enumerate(source.frames()):
+        if i >= 14:
+            break
+    if frame is None:
+        raise SystemExit("no frames in source")
     depth = jnp.asarray(frame.depth)
     pts = points.deproject_points(
         depth, jnp.asarray(intrin.pp), jnp.float32(intrin.fx)
