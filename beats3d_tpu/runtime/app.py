@@ -133,13 +133,14 @@ class BeatsApp:
         heights = np.asarray(out["heights"])
         valid = np.asarray(out["tip_valid"])
         for hand_idx in range(2):
-            self.hand_states[hand_idx].update(
-                heights[hand_idx], valid[hand_idx], self.cfg.z_thresh_offset
-            )
+            # propagate live tunables BEFORE the tap update (3d_bz.py:505-507)
             for f in self.hand_states[hand_idx].fingertips:
                 f.velocity_sensitive = self.cfg.velocity_sensitive
                 f.min_velocity = self.cfg.min_velocity
                 f.max_velocity = self.cfg.max_velocity
+            self.hand_states[hand_idx].update(
+                heights[hand_idx], valid[hand_idx], self.cfg.z_thresh_offset
+            )
         self.timer.stop()
 
         self.frame_num += 1
