@@ -58,7 +58,6 @@ def main():
         rng=np.random.default_rng(args.seed),
     )
 
-    last_ts = {}
     for frame in source.frames():
         if frame.color is None:
             continue

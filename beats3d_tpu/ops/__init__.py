@@ -1,1 +1,11 @@
-from . import forest_eval, points, plane, meanshift, components, colors  # noqa: F401
+from . import (  # noqa: F401
+    colors,
+    components,
+    forest_eval,
+    forest_eval_pallas,
+    meanshift,
+    plane,
+    points,
+    posefit,
+    render,
+)
