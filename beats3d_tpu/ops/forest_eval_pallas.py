@@ -41,21 +41,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_UINT16 = 65535
 
-PAD_Y = 48     # sentinel apron rows above the image
-PAD_B = 64     # below (covers the deepest candidate block start)
-PAD_X = 128    # sentinel columns left; right gets PAD_X + LANE
+# Row apron above/below the image: NOT a sentinel region — out-of-bounds
+# probes are clamped + masked to 65535 in-register — but required so the
+# per-lane window start (yc + APRON_T - r*ii) is never negative and window
+# loads never run off the end.  16 = r_max * (SUB - 1) rounded to a sublane
+# multiple.  There is no column padding at all.
+APRON_T = 16
+APRON_B = 16
 LANE = 128
 SUB = 8
+
+
+NCOMP = 7  # per-level table entries: ux, uy, vx, vy, th, lr, pdf
 
 
 def pack_tables_pallas(forest_flat: np.ndarray):
     """Pack a (T, 2**D - 1, 7 + 2C) forest into kernel-friendly tables.
 
-    Per level j: (ux, uy, vx, vy, thresh) f32, (l_next, r_next) i32 (floored;
-    -1 = descend) each shaped (T, SC, 8, 128) — "superchunk" layout: node id g
-    lives at [t, (g//128)//8, (g//128)%8, g%128], so any 128-node chunk is one
-    dynamic-leading-index load of an aligned (8, 128) block plus a sublane
-    roll (Mosaic requires 8-aligned sublane offsets).  pdf adds a static
+    Per level j: (ux, uy, vx, vy, thresh) f32 and a packed child-status
+    bitmask lr (bit0: left child is internal, bit1: right child is internal
+    — the evaluator only ever tests l_next/r_next == -1, decision_tree
+    semantics tree_eval.cu:109-121), each shaped (T, SC, 8, 128) —
+    "superchunk" layout: node id g lives at [t, (g//128)//8, (g//128)%8,
+    g%128], so any 128-node chunk is one dynamic-leading-index load of an
+    aligned (8, 128) block plus a sublane roll (Mosaic requires 8-aligned
+    sublane offsets).  Levels with <= 128 nodes are PRE-BROADCAST: all 8
+    sublanes hold the same 128 values, so the kernel's lookup is a direct
+    (8, 128) load + lane shuffle with no roll/broadcast.  pdf adds a static
     side*C+class leading dim: (T, 2C, SC, 8, 128).
     Returns (levels_tuple, (T, D, C)).
     """
@@ -70,35 +82,43 @@ def pack_tables_pallas(forest_flat: np.ndarray):
         n_chunks = (g + LANE - 1) // LANE
         sc = (n_chunks + SUB - 1) // SUB
         gpad = sc * SUB * LANE
+        bcast = g <= LANE
 
         def padded(x, dtype=np.float32):
             out = np.zeros((t, gpad), dtype)
             out[:, :g] = x
-            return out.reshape(t, sc, SUB, LANE)
+            out = out.reshape(t, sc, SUB, LANE)
+            if bcast:
+                out = np.broadcast_to(out[:, :, 0:1, :], out.shape).copy()
+            return out
 
         ux = padded(nodes[:, :, 0])
         uy = padded(nodes[:, :, 1])
         vx = padded(nodes[:, :, 2])
         vy = padded(nodes[:, :, 3])
         th = padded(nodes[:, :, 4])
-        ln = padded(np.floor(nodes[:, :, 5]), np.int32)
-        rn = padded(np.floor(nodes[:, :, 6]), np.int32)
+        lr = padded(
+            (np.floor(nodes[:, :, 5]) == -1).astype(np.int32)
+            + 2 * (np.floor(nodes[:, :, 6]) == -1).astype(np.int32),
+            np.int32,
+        )
         pdf = np.zeros((t, 2 * c, gpad), np.float32)
         for s in range(2):
             for k in range(c):
                 pdf[:, s * c + k, :g] = nodes[:, :, 7 + s * c + k]
         pdf = pdf.reshape(t, 2 * c, sc, SUB, LANE)
+        if bcast:
+            pdf = np.broadcast_to(pdf[:, :, :, 0:1, :], pdf.shape).copy()
         levels.append(
-            tuple(jnp.asarray(a) for a in (ux, uy, vx, vy, th, ln, rn, pdf))
+            tuple(jnp.asarray(a) for a in (ux, uy, vx, vy, th, lr, pdf))
         )
     return tuple(levels), (t, d, c)
 
 
-def _tile_context(even_ref, odd_ref, r, h, w):
+def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
     """Per-tile coordinate grids + the two gather primitives, shared by the
-    single-forest and fused-layered kernels."""
-    ty = pl.program_id(1)
-    tx = pl.program_id(2)
+    single-forest and fused-layered kernels.  ``ty``/``tx`` are the tile's
+    row/column indices in the padded label grid (scalars)."""
     y0 = ty * SUB
     x0 = tx * LANE
 
@@ -108,28 +128,47 @@ def _tile_context(even_ref, odd_ref, r, h, w):
     x_px = (x0 + jj) * r
 
     if True:
-        def gather_image_pair(yyu, xxu, yyv, xxv, active):
-            """Both probes' image values in ONE (row-start, chunk) sweep:
-            the u and v candidate ranges are unioned so each window load
-            serves two shuffles (unpadded coords; OOB -> 65535 apron)."""
-            def prep(yy, xx):
-                yc = jnp.clip(yy, -(PAD_Y - 2 * SUB), h + PAD_B - 2 * SUB - 1)
-                xc = jnp.clip(xx, -PAD_X, w + PAD_X - 1)
+        def gather_image_multi(probes):
+            """All probes' image values in ONE unioned (row-start, chunk)
+            sweep: each window load serves every probe's lane shuffle.
+            Out-of-bounds probes are clamped into the image and masked to
+            65535 afterwards (tree_eval semantics: OOB reads "very far",
+            decision_tree_common.hpp:8-28).  ``probes`` is a list of
+            (yy, xx, active); returns one (SUB, LANE) i32 per probe.
+
+            Serving many probes per sweep matters twice: the window loads
+            amortize, and — this is the latency win — the whole sweep costs
+            ONE set of vector->scalar bound reductions and one dynamic loop
+            instead of one per probe."""
+            def prep(yy, xx, active):
+                oob = (yy < 0) | (yy >= h) | (xx < 0) | (xx >= w)
+                yc = jnp.clip(yy, 0, h - 1)
+                xc = jnp.clip(xx, 0, w - 1)
                 yc = jnp.where(active, yc, y_px)
                 xc = jnp.where(active, xc, x_px)
-                xp = xc + PAD_X
-                chunk = xp // LANE
-                lane_idx = xp - chunk * LANE
-                srow = yc + PAD_Y - r * ii  # padded-row block start per lane
-                return srow, chunk, lane_idx
+                chunk = xc // LANE
+                lane_idx = xc - chunk * LANE
+                srow = yc + APRON_T - r * ii  # padded-row window start
+                return srow, chunk, lane_idx, oob
 
-            srow_u, chunk_u, lane_u = prep(yyu, xxu)
-            srow_v, chunk_v, lane_v = prep(yyv, xxv)
+            preps = [prep(yy, xx, act) for (yy, xx, act) in probes]
 
-            s_lo = jnp.minimum(jnp.min(srow_u), jnp.min(srow_v))
-            s_hi = jnp.maximum(jnp.max(srow_u), jnp.max(srow_v))
-            c_lo = jnp.minimum(jnp.min(chunk_u), jnp.min(chunk_v))
-            c_hi = jnp.maximum(jnp.max(chunk_u), jnp.max(chunk_v))
+            # Vector->scalar reductions serialize the pipeline (~us each);
+            # combine all probes elementwise first so exactly 4 remain, and
+            # flatten the (row, chunk) sweep into ONE dynamic loop.
+            smin = preps[0][0]
+            smax = preps[0][0]
+            cmin = preps[0][1]
+            cmax = preps[0][1]
+            for srow, chunk, _, _ in preps[1:]:
+                smin = jnp.minimum(smin, srow)
+                smax = jnp.maximum(smax, srow)
+                cmin = jnp.minimum(cmin, chunk)
+                cmax = jnp.maximum(cmax, chunk)
+            s_lo = jnp.min(smin)
+            s_hi = jnp.max(smax)
+            c_lo = jnp.min(cmin)
+            c_hi = jnp.max(cmax)
 
             def window(plane_ref, p, cix):
                 """(SUB, LANE) rows [p, p+8) of a plane: Mosaic requires
@@ -144,51 +183,44 @@ def _tile_context(even_ref, odd_ref, r, h, w):
                 ]
                 return pltpu.roll(blk, -off, 0)[0:SUB]
 
-            def s_body(s, accs):
-                if r == 1:
-                    def c_body(cix, accs2):
-                        au, av = accs2
-                        op = window(even_ref, s, cix)
-                        sel_u = (srow_u == s) & (chunk_u == cix)
-                        sel_v = (srow_v == s) & (chunk_v == cix)
-                        vu = jnp.take_along_axis(op, lane_u, axis=1)
-                        vv = jnp.take_along_axis(op, lane_v, axis=1)
-                        return (jnp.where(sel_u, vu, au),
-                                jnp.where(sel_v, vv, av))
+            nc = c_hi - c_lo + 1
+            total = (s_hi - s_lo + 1) * nc
 
-                    return jax.lax.fori_loop(c_lo, c_hi + 1, c_body, accs)
+            def body(i, accs):
+                s = s_lo + i // nc
+                cix = c_lo + i % nc
+                if r == 1:
+                    op = window(even_ref, s, cix)
                 else:
                     half = s // 2
                     is_even = (s % 2) == 0
+                    op_e = window(even_ref, half, cix)
+                    op_o = window(odd_ref, half, cix)
+                    op = jnp.where(is_even, op_e, op_o)
+                out = []
+                for acc, (srow, chunk, lane_idx, _) in zip(accs, preps):
+                    sel = (srow == s) & (chunk == cix)
+                    v = jnp.take_along_axis(op, lane_idx, axis=1)
+                    out.append(jnp.where(sel, v, acc))
+                return tuple(out)
 
-                    def c_body(cix, accs2):
-                        au, av = accs2
-                        op_e = window(even_ref, half, cix)
-                        op_o = window(odd_ref, half, cix)
-                        op = jnp.where(is_even, op_e, op_o)
-                        sel_u = (srow_u == s) & (chunk_u == cix)
-                        sel_v = (srow_v == s) & (chunk_v == cix)
-                        vu = jnp.take_along_axis(op, lane_u, axis=1)
-                        vv = jnp.take_along_axis(op, lane_v, axis=1)
-                        return (jnp.where(sel_u, vu, au),
-                                jnp.where(sel_v, vv, av))
-
-                    return jax.lax.fori_loop(c_lo, c_hi + 1, c_body, accs)
-
-            init = (jnp.zeros((SUB, LANE), jnp.int32),
-                    jnp.zeros((SUB, LANE), jnp.int32))
-            return jax.lax.fori_loop(s_lo, s_hi + 1, s_body, init)
+            init = tuple(
+                jnp.zeros((SUB, LANE), jnp.int32) for _ in probes
+            )
+            got = jax.lax.fori_loop(0, total, body, init)
+            return tuple(
+                jnp.where(p[3], MAX_UINT16, v) for v, p in zip(got, preps)
+            )
 
         def chunked_lookup(load_superchunk, g, active, dtype, num_nodes):
             """Per-lane table[g].  ``load_superchunk(sc)`` returns the
             (SUB, LANE) block holding chunks [sc*8, sc*8+8); chunk cix lives
             at sublane cix % 8, so one roll exposes it at row 0.
-            ``num_nodes`` is static: levels with <= 128 nodes need no loop."""
+            ``num_nodes`` is static: levels with <= 128 nodes are stored
+            pre-broadcast (all sublanes equal) — one load + one shuffle."""
             gc = jnp.where(active, g, 0)
             if num_nodes <= LANE:
-                row = load_superchunk(0)[0:1]
-                op = jnp.broadcast_to(row, (SUB, LANE))
-                return jnp.take_along_axis(op, gc, axis=1)
+                return jnp.take_along_axis(load_superchunk(0), gc, axis=1)
 
             chunk = gc // LANE
             lane_idx = gc - chunk * LANE
@@ -205,106 +237,131 @@ def _tile_context(even_ref, odd_ref, r, h, w):
             init = jnp.zeros((SUB, LANE), dtype)
             return jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
 
-    return y_px, x_px, gather_image_pair, chunked_lookup
+    return y_px, x_px, gather_image_multi, chunked_lookup
 
 
 def _traverse_tile(tables, num_trees, depth_levels, num_classes, eligible,
                    safe_df, zero_center, scale, y_px, x_px,
-                   gather_image_pair, chunked_lookup):
+                   gather_image_multi, chunked_lookup):
     """Level-synchronous traversal of one (8, 128) tile through one forest;
-    returns (argmax class, all-trees-done mask)."""
+    returns (argmax class, all-trees-done mask).
+
+    ALL trees advance together per level: the kernel is latency-bound (scalar
+    reductions, divides, dependent shuffles), so the per-level serial chain —
+    bound reduces, one unioned image sweep, the any()-gates — is paid ONCE
+    for T trees instead of T times.  The per-tree work that remains is
+    throughput-cheap vector ops."""
     pdf_sum = [
         jnp.zeros((SUB, LANE), jnp.float32) for _ in range(num_classes)
     ]
-    all_done = jnp.ones((SUB, LANE), jnp.bool_)
+    T = num_trees
+    not_elig = (~eligible).astype(jnp.int32)
+    gs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in range(T)]
+    dones = [not_elig for _ in range(T)]
 
-    if True:
-        for t in range(num_trees):
-            g = jnp.zeros((SUB, LANE), jnp.int32)
-            done = ~eligible
-            for j in range(depth_levels):
-                ux_r, uy_r, vx_r, vy_r, th_r, ln_r, rn_r, pdf_r = tables[
-                    j * 8 : (j + 1) * 8
-                ]
-                n_nodes = 1 << j
+    for j in range(depth_levels):
+        ux_r, uy_r, vx_r, vy_r, th_r, lr_r, pdf_r = tables[
+            j * NCOMP : (j + 1) * NCOMP
+        ]
+        n_nodes = 1 << j
 
-                def level_fn(state):
-                    g, done_i, *pdfs = state
-                    active = done_i == 0
+        def level_fn(state):
+            gs = list(state[:T])
+            dones = list(state[T : 2 * T])
+            pdfs = list(state[2 * T :])
 
-                    def comp(ref):
-                        return chunked_lookup(
-                            lambda sc, _r=ref: _r[t, sc],
-                            g, active, ref.dtype, n_nodes,
+            actives, ths, lrs, probes = [], [], [], []
+            for t in range(T):
+                active = dones[t] == 0
+                g = gs[t]
+
+                def comp(ref, _t=t, _g=g, _a=active):
+                    return chunked_lookup(
+                        lambda sc, _r=ref: _r[_t, sc],
+                        _g, _a, ref.dtype, n_nodes,
+                    )
+
+                ux, uy = comp(ux_r), comp(uy_r)
+                vx, vy = comp(vx_r), comp(vy_r)
+                ths.append(comp(th_r))
+                lrs.append(comp(lr_r))
+
+                dux = jnp.floor(scale * ux / safe_df).astype(jnp.int32)
+                duy = jnp.floor(scale * uy / safe_df).astype(jnp.int32)
+                dvx = jnp.floor(scale * vx / safe_df).astype(jnp.int32)
+                dvy = jnp.floor(scale * vy / safe_df).astype(jnp.int32)
+                probes.append((y_px + duy, x_px + dux, active))
+                probes.append((y_px + dvy, x_px + dvx, active))
+                actives.append(active)
+
+            vals = gather_image_multi(probes)
+
+            lefts, hits = [], []
+            hit_any = jnp.zeros((SUB, LANE), jnp.bool_)
+            old_gs = list(gs)
+            for t in range(T):
+                f = vals[2 * t].astype(jnp.float32) - vals[
+                    2 * t + 1
+                ].astype(jnp.float32)
+                f = jnp.where(zero_center, 0.0, f)
+                left = f < ths[t]
+                side = jnp.where(left, 0, 1)
+                descend = ((lrs[t] >> side) & 1) == 1
+                hit = actives[t] & (~descend)
+                gs[t] = jnp.where(actives[t] & descend, 2 * gs[t] + side, gs[t])
+                dones[t] = jnp.where(hit, 1, dones[t])
+                lefts.append(left)
+                hits.append(hit)
+                hit_any |= hit
+
+            def pdf_fn(pdfs_in):
+                out = list(pdfs_in)
+                for t in range(T):
+                    for k in range(num_classes):
+                        val_l = chunked_lookup(
+                            lambda sc, _r=pdf_r, _t=t, _k=k: _r[_t, _k, sc],
+                            old_gs[t], hits[t], jnp.float32, n_nodes,
                         )
+                        val_r = chunked_lookup(
+                            lambda sc, _r=pdf_r, _t=t, _k=k: _r[
+                                _t, num_classes + _k, sc
+                            ],
+                            old_gs[t], hits[t], jnp.float32, n_nodes,
+                        )
+                        val = jnp.where(lefts[t], val_l, val_r)
+                        out[k] = out[k] + jnp.where(hits[t], val, 0.0)
+                return tuple(out)
 
-                    ux, uy = comp(ux_r), comp(uy_r)
-                    vx, vy = comp(vx_r), comp(vy_r)
-                    th = comp(th_r)
-                    ln, rn = comp(ln_r), comp(rn_r)
+            # 0/1-trip loop instead of cond: Mosaic can't legalize scf.if
+            # with vector results, but dynamic-bound scf loops are fine.
+            pdfs = jax.lax.fori_loop(
+                0,
+                jnp.any(hit_any).astype(jnp.int32),
+                lambda _, p: pdf_fn(p),
+                tuple(pdfs),
+            )
+            return tuple(gs) + tuple(dones) + tuple(pdfs)
 
-                    dux = jnp.floor(scale * ux / safe_df).astype(jnp.int32)
-                    duy = jnp.floor(scale * uy / safe_df).astype(jnp.int32)
-                    dvx = jnp.floor(scale * vx / safe_df).astype(jnp.int32)
-                    dvy = jnp.floor(scale * vy / safe_df).astype(jnp.int32)
+        # Skip the level only when EVERY tree is done everywhere (one
+        # scalar reduce per level, not per tree).  bool vectors don't
+        # legalize as scf loop carries; use i32.
+        nd = dones[0]
+        for t in range(1, T):
+            nd = jnp.minimum(nd, dones[t])
+        state = tuple(gs) + tuple(dones) + tuple(pdf_sum)
+        state = jax.lax.fori_loop(
+            0,
+            jnp.any(nd == 0).astype(jnp.int32),
+            lambda _, s: level_fn(s),
+            state,
+        )
+        gs = list(state[:T])
+        dones = list(state[T : 2 * T])
+        pdf_sum = list(state[2 * T :])
 
-                    du, dv = gather_image_pair(
-                        y_px + duy, x_px + dux, y_px + dvy, x_px + dvx, active
-                    )
-                    f = du.astype(jnp.float32) - dv.astype(jnp.float32)
-                    f = jnp.where(zero_center, 0.0, f)
-
-                    left = f < th
-                    status = jnp.where(left, ln, rn)
-                    descend = status == -1
-                    hit = active & (~descend)
-
-                    def pdf_fn(pdfs_in):
-                        out = []
-                        for k in range(num_classes):
-                            val_l = chunked_lookup(
-                                lambda sc, _r=pdf_r, _k=k: _r[t, _k, sc],
-                                g, hit, jnp.float32, n_nodes,
-                            )
-                            val_r = chunked_lookup(
-                                lambda sc, _r=pdf_r, _k=k: _r[
-                                    t, num_classes + _k, sc
-                                ],
-                                g, hit, jnp.float32, n_nodes,
-                            )
-                            val = jnp.where(left, val_l, val_r)
-                            out.append(
-                                pdfs_in[k] + jnp.where(hit, val, 0.0)
-                            )
-                        return tuple(out)
-
-                    # 0/1-trip loop instead of cond: Mosaic can't legalize
-                    # scf.if with vector results, but dynamic-bound scf loops
-                    # are fine.
-                    pdfs = jax.lax.fori_loop(
-                        0,
-                        jnp.any(hit).astype(jnp.int32),
-                        lambda _, p: pdf_fn(p),
-                        tuple(pdfs),
-                    )
-
-                    g2 = jnp.where(
-                        active & descend, 2 * g + jnp.where(left, 0, 1), g
-                    )
-                    done2 = jnp.where(hit, 1, done_i)
-                    return (g2, done2) + tuple(pdfs)
-
-                # bool vectors don't legalize as scf loop carries; use i32
-                state = (g, done.astype(jnp.int32)) + tuple(pdf_sum)
-                state = jax.lax.fori_loop(
-                    0,
-                    jnp.any(~done).astype(jnp.int32),
-                    lambda _, s: level_fn(s),
-                    state,
-                )
-                g, done = state[0], state[1] != 0
-                pdf_sum = list(state[2:])
-            all_done = all_done & done
+    all_done = dones[0] != 0
+    for t in range(1, T):
+        all_done &= dones[t] != 0
 
     best_v = jnp.zeros((SUB, LANE), jnp.float32)
     best_c = jnp.zeros((SUB, LANE), jnp.int32)
@@ -315,16 +372,45 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, eligible,
     return best_c, all_done
 
 
+def _prep_planes(di, r, hl_pad, wl_pad):
+    """Row-apron pad + even/odd split + strided label-center image.
+
+    The apron is 16 rows top/bottom only (see APRON_T) — OOB probes are
+    masked in-register, so no sentinel padding and NO column padding at all,
+    keeping this XLA preamble an order of magnitude smaller than a sentinel
+    apron would be."""
+    n, h, w = di.shape
+    hl, wl = h // r, w // r
+    # Each plane must be wide enough for whole-LANE window loads and tall
+    # enough for the deepest aligned 16-row window (max srow = h-1+APRON_T).
+    w_pad = ((w + LANE - 1) // LANE) * LANE
+    plane_rows = (((h + APRON_T - 1) // r) // SUB) * SUB + 2 * SUB
+    pad_b = plane_rows * r - h - APRON_T
+    padded = jnp.pad(di, ((0, 0), (APRON_T, pad_b), (0, w_pad - w)))
+    if r == 2:
+        depth_even = padded[:, 0::2, :]
+        depth_odd = padded[:, 1::2, :]
+    else:
+        depth_even = padded
+        depth_odd = padded
+    d_center = di[:, ::r, ::r]
+    if hl_pad != hl or wl_pad != wl:
+        d_center = jnp.pad(
+            d_center, ((0, 0), (0, hl_pad - hl), (0, wl_pad - wl))
+        )
+    return depth_even, depth_odd, d_center
+
+
 def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
                  write_all_eligible):
     """Single-forest kernel body with static config baked in."""
 
     def kernel(scale_ref, fc_ref, even_ref, odd_ref, dc_ref, filt_ref, *args):
-        tables = args[: depth_levels * 8]
-        out_ref = args[depth_levels * 8]
+        tables = args[: depth_levels * NCOMP]
+        out_ref = args[depth_levels * NCOMP]
 
-        y_px, x_px, gather_image_pair, chunked_lookup = _tile_context(
-            even_ref, odd_ref, r, h, w
+        y_px, x_px, gather_image_multi, chunked_lookup = _tile_context(
+            even_ref, odd_ref, r, h, w, pl.program_id(1), pl.program_id(2)
         )
         d_center = dc_ref[0]
         filt = filt_ref[0]
@@ -341,7 +427,7 @@ def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
         best_c, all_done = _traverse_tile(
             tables, num_trees, depth_levels, num_classes, eligible,
             safe_df, zero_center, scale, y_px, x_px,
-            gather_image_pair, chunked_lookup,
+            gather_image_multi, chunked_lookup,
         )
         write = eligible if write_all_eligible else (eligible & all_done)
         out_ref[0] = jnp.where(write, best_c, MAX_UINT16)
@@ -440,21 +526,7 @@ def evaluate_forest_pallas(
     wl_pad = ((wl + LANE - 1) // LANE) * LANE
 
     di = depth.astype(jnp.int32)
-    padded = jnp.pad(
-        di,
-        ((0, 0), (PAD_Y, PAD_B + 2 * SUB), (PAD_X, PAD_X + LANE)),
-        constant_values=MAX_UINT16,
-    )
-    if r == 2:
-        depth_even = padded[:, 0::2, :]
-        depth_odd = padded[:, 1::2, :]
-    else:
-        depth_even = padded
-        depth_odd = padded
-
-    d_center = jnp.pad(
-        di[:, ::r, ::r], ((0, 0), (0, hl_pad - hl), (0, wl_pad - wl))
-    )
+    depth_even, depth_odd, d_center = _prep_planes(di, r, hl_pad, wl_pad)
     if filter_images is not None:
         filt = jnp.pad(
             filter_images.astype(jnp.int32),
@@ -490,23 +562,32 @@ def evaluate_forest_pallas(
 # fused layered evaluation: all layers + composite in ONE kernel
 # ---------------------------------------------------------------------------
 
-def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond):
+def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
     """Kernel running every layer's forest over one tile (each layer filtered
     by an earlier layer's in-register labels) and walking the conditions
     table — the whole LayeredDecisionForest.run + make_composite_labels_image
-    (tree_eval.cu:214-248) in a single grid pass."""
-    def kernel(scale_ref, even_ref, odd_ref, dc_ref, *args):
+    (tree_eval.cu:214-248) in a single grid pass.
+
+    The grid is a COMPACTED 1-D list of occupied tiles (scalar-prefetched
+    flat ids, dynamic length): background tiles never run at all — the
+    TPU-native equivalent of the reference kernel's per-pixel early-outs
+    (tree_eval.cu:81-93), moved up to tile granularity so empty desk pixels
+    cost zero grid steps instead of a per-level check."""
+    def kernel(idx_ref, scale_ref, even_ref, odd_ref, dc_ref, *args):
         pos = 0
         layer_tables = []
         for (t, d, c) in metas:
-            layer_tables.append(args[pos : pos + d * 8])
-            pos += d * 8
+            layer_tables.append(args[pos : pos + d * NCOMP])
+            pos += d * NCOMP
         cond_flag_ref = args[pos]
         cond_val_ref = args[pos + 1]
         out_ref = args[pos + 2]
 
-        y_px, x_px, gather_image_pair, chunked_lookup = _tile_context(
-            even_ref, odd_ref, r, h, w
+        flat = idx_ref[pl.program_id(0)]
+        ty = (flat // ntx) % nty
+        tx = flat % ntx
+        y_px, x_px, gather_image_multi, chunked_lookup = _tile_context(
+            even_ref, odd_ref, r, h, w, ty, tx
         )
         d_center = dc_ref[0]
         scale = scale_ref[0, 0]
@@ -524,7 +605,7 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond):
             best_c, _ = _traverse_tile(
                 layer_tables[i], t, d, c, eligible,
                 safe_df, zero_center, scale, y_px, x_px,
-                gather_image_pair, chunked_lookup,
+                gather_image_multi, chunked_lookup,
             )
             labels.append(jnp.where(eligible, best_c, MAX_UINT16))
 
@@ -570,39 +651,71 @@ def _run_layered_pallas(
 ):
     (n, h, w, hl_pad, wl_pad, num_cond) = dims
     r = labels_reduce
-    kernel = _make_layered_kernel(metas, filter_specs, r, h, w, num_cond)
+    nty, ntx = hl_pad // SUB, wl_pad // LANE
+    ntiles = n * nty * ntx
+    kernel = _make_layered_kernel(
+        metas, filter_specs, r, h, w, num_cond, nty, ntx
+    )
 
-    grid = (n, hl_pad // SUB, wl_pad // LANE)
-    plane_spec = pl.BlockSpec(
-        (1,) + depth_even.shape[1:], lambda nn, ty, tx: (nn, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    tile_spec = pl.BlockSpec(
-        (1, SUB, LANE), lambda nn, ty, tx: (nn, ty, tx),
-        memory_space=pltpu.VMEM,
-    )
+    # Tile compaction: only tiles holding at least one classifiable pixel get
+    # a grid step.  flatnonzero keeps ascending order, so the hand index is
+    # monotone across steps and each even/odd plane is DMA'd into VMEM once.
+    elig = (d_center != 0) & (d_center != MAX_UINT16)
+    tile_act = elig.reshape(n, nty, SUB, ntx, LANE).any(axis=(2, 4))
+    flat_act = tile_act.reshape(ntiles)
+    tile_list = jnp.flatnonzero(
+        flat_act, size=ntiles, fill_value=0
+    ).astype(jnp.int32)
+    if interpret:
+        # interpret mode needs a concrete trip count; run every tile
+        # (identity list) — semantics identical, just unskipped.
+        n_active = ntiles
+        tile_list = jnp.arange(ntiles, dtype=jnp.int32)
+    else:
+        n_active = flat_act.sum().astype(jnp.int32)
+
+    def plane_map(i, idx):
+        return (idx[i] // (nty * ntx), 0, 0)
+
+    def tile_map(i, idx):
+        f = idx[i]
+        return (f // (nty * ntx), (f // ntx) % nty, f % ntx)
+
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_active,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            plane_spec,
             pl.BlockSpec(
-                (1,) + depth_odd.shape[1:], lambda nn, ty, tx: (nn, 0, 0),
+                (1,) + depth_even.shape[1:], plane_map,
                 memory_space=pltpu.VMEM,
             ),
-            tile_spec,
+            pl.BlockSpec(
+                (1,) + depth_odd.shape[1:], plane_map,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, SUB, LANE), tile_map, memory_space=pltpu.VMEM),
             *[vm for _ in tables_flat],
             vm,
             vm,
         ],
-        out_specs=tile_spec,
+        out_specs=pl.BlockSpec(
+            (1, SUB, LANE), tile_map, memory_space=pltpu.VMEM
+        ),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, hl_pad, wl_pad), jnp.int32),
         interpret=interpret,
-    )(scale, depth_even, depth_odd, d_center, *tables_flat, cond_flag,
-      cond_val)
+    )(tile_list, scale, depth_even, depth_odd, d_center, *tables_flat,
+      cond_flag, cond_val)
+    # Unvisited (all-background) tiles hold uninitialized output; every
+    # ineligible pixel's label is MAX_UINT16 by the kernel's own rule, so one
+    # mask restores exact semantics.
+    return jnp.where(elig, out, MAX_UINT16)
 
 
 def _pack_conditions(conditions: np.ndarray):
@@ -611,8 +724,8 @@ def _pack_conditions(conditions: np.ndarray):
     assert k <= LANE, "conditions tables beyond 128 rows unsupported in-kernel"
     flag = np.zeros((SUB, LANE), np.int32)
     val = np.zeros((SUB, LANE), np.int32)
-    flag[0, :k] = conditions[:, 0]
-    val[0, :k] = conditions[:, 1]
+    flag[:, :k] = conditions[:, 0][None, :]  # pre-broadcast for the fast path
+    val[:, :k] = conditions[:, 1][None, :]
     return jnp.asarray(flag), jnp.asarray(val)
 
 
@@ -648,21 +761,7 @@ def evaluate_layered_pallas(
     wl_pad = ((wl + LANE - 1) // LANE) * LANE
 
     di = depth.astype(jnp.int32)
-    padded = jnp.pad(
-        di,
-        ((0, 0), (PAD_Y, PAD_B + 2 * SUB), (PAD_X, PAD_X + LANE)),
-        constant_values=MAX_UINT16,
-    )
-    if r == 2:
-        depth_even = padded[:, 0::2, :]
-        depth_odd = padded[:, 1::2, :]
-    else:
-        depth_even = padded
-        depth_odd = padded
-
-    d_center = jnp.pad(
-        di[:, ::r, ::r], ((0, 0), (0, hl_pad - hl), (0, wl_pad - wl))
-    )
+    depth_even, depth_odd, d_center = _prep_planes(di, r, hl_pad, wl_pad)
 
     cond_flag, cond_val = conditions_packed
     tables_flat = []

@@ -53,6 +53,14 @@ class PipelineConfig:
     mean_shift_rounds: int = 6      # 3d_bz.py:65
     train_dim_x: int = 848          # 3d_bz.py:74
     fingertip_label_ids: Tuple[int, ...] = (2, 3, 4, 5, 6)  # 3d_bz.py:113
+    # Per-hand crop window (full-res pixels) for forest eval.  The group
+    # stencil zeroes everything outside the hand, so evaluating a crop that
+    # contains the whole (grown) group is EXACT — and ~5x less data touches
+    # the eval kernel + its padding preamble.  Falls back to the full frame
+    # when a hand's bbox exceeds the window.  Must be multiples of 16; crop
+    # is disabled when >= the frame dims (e.g. tiny test frames).
+    crop_h: int = 256
+    crop_w: int = 384
 
 
 def _fingertip_heights(
@@ -144,18 +152,76 @@ def frame_step(
     hand_depth = points.convert_0s_to_maxuint(jnp.stack([d_right, d_left]))
 
     scale_factor = jnp.float32(w) / jnp.float32(cfgv.train_dim_x)
-    labels = run_layered(
-        hand_depth,
-        layer_tables,
-        conditions,
-        filter_specs=filter_specs,
-        labels_reduce=cfgv.labels_reduce,
-        scale_factor=scale_factor,
-        backend=backend,
-        metas=metas,
-        conditions_packed=conditions_packed,
-        num_cond=num_cond,
-    )
+    r = cfgv.labels_reduce
+    hl, wl = h // r, w // r
+
+    def eval_layers(depth_imgs):
+        return run_layered(
+            depth_imgs,
+            layer_tables,
+            conditions,
+            filter_specs=filter_specs,
+            labels_reduce=cfgv.labels_reduce,
+            scale_factor=scale_factor,
+            backend=backend,
+            metas=metas,
+            conditions_packed=conditions_packed,
+            num_cond=num_cond,
+        )
+
+    ch, cw = cfgv.crop_h, cfgv.crop_w
+    use_crop = ch < h and cw < w and ch % 16 == 0 and cw % 16 == 0
+    if use_crop:
+        # Per-hand bbox from the grown mip-level stencil.  The left hand's
+        # stencil image was mirrored above, so mirror its bbox too.
+        mip = cfgv.depth_mm_level
+        f = 1 << mip
+
+        def bbox_fullres(gid, mirrored):
+            m = grown == gid
+            rows = jnp.any(m, axis=1)
+            cols = jnp.any(m, axis=0)
+            hs, ws = m.shape
+            ylo = jnp.argmax(rows).astype(jnp.int32) * f
+            yhi = (hs - jnp.argmax(rows[::-1]).astype(jnp.int32)) * f
+            xlo = jnp.argmax(cols).astype(jnp.int32) * f
+            xhi = (ws - jnp.argmax(cols[::-1]).astype(jnp.int32)) * f
+            yhi = jnp.minimum(yhi, h)
+            xhi = jnp.minimum(xhi, w)
+            if mirrored:
+                xlo, xhi = w - xhi, w - xlo
+            present = jnp.any(rows)
+            return ylo, yhi, xlo, xhi, present
+
+        def origin(lo, hi, crop, dim):
+            c = (lo + hi - crop) // 2
+            c = jnp.clip(c, 0, dim - crop)
+            return (c // 2) * 2  # even: label grid (r=2) stays aligned
+
+        oys, oxs, too_big = [], [], jnp.bool_(False)
+        for i, (gid, mirrored) in enumerate(((1, False), (2, True))):
+            ylo, yhi, xlo, xhi, present = bbox_fullres(gid, mirrored)
+            oys.append(origin(ylo, yhi, ch, h))
+            oxs.append(origin(xlo, xhi, cw, w))
+            too_big |= present & ((yhi - ylo > ch) | (xhi - xlo > cw))
+
+        def eval_cropped(hand_depth):
+            crops = jnp.stack([
+                jax.lax.dynamic_slice(hand_depth[i], (oys[i], oxs[i]), (ch, cw))
+                for i in range(2)
+            ])
+            lc = eval_layers(crops)  # (2, ch//r, cw//r)
+            canvas = jnp.full((hl, wl), 65535, lc.dtype)
+            return jnp.stack([
+                jax.lax.dynamic_update_slice(
+                    canvas, lc[i], (oys[i] // r, oxs[i] // r)
+                )
+                for i in range(2)
+            ])
+
+        labels = jax.lax.cond(too_big, eval_layers, eval_cropped, hand_depth)
+    else:
+        labels = eval_layers(hand_depth)
     # Un-mirror the left hand's labels back into screen space (3d_bz.py:439-446).
     labels = jnp.stack([labels[0], points.flip_x(labels[1])])
 
