@@ -128,18 +128,38 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
     x_px = (x0 + jj) * r
 
     if True:
-        def gather_image_multi(probes):
-            """All probes' image values in ONE unioned (row-start, chunk)
-            sweep: each window load serves every probe's lane shuffle.
-            Out-of-bounds probes are clamped into the image and masked to
-            65535 afterwards (tree_eval semantics: OOB reads "very far",
-            decision_tree_common.hpp:8-28).  ``probes`` is a list of
-            (yy, xx, active); returns one (SUB, LANE) i32 per probe.
+        # Static per-probe window geometry: 2 padded rows x KC chunks,
+        # fully unrolled — the common case runs with NO dynamic-trip loops
+        # (Mosaic can't software-pipeline those; measured 3.5x).
+        n_chunks_img = (w + LANE - 1) // LANE
+        KC = min(2, n_chunks_img)
+        max_half = (h + APRON_T - 1) // r
+        big = jnp.int32(1 << 29)
 
-            Serving many probes per sweep matters twice: the window loads
-            amortize, and — this is the latency win — the whole sweep costs
-            ONE set of vector->scalar bound reductions and one dynamic loop
-            instead of one per probe."""
+        def window(plane_ref, p, cix):
+            """(SUB, LANE) rows [p, p+8) of a plane: Mosaic requires
+            8-aligned sublane starts, so load an aligned 16-row block and
+            roll the residue away."""
+            p_al = pl.multiple_of((p // SUB) * SUB, SUB)
+            off = p - p_al
+            blk = plane_ref[
+                0,
+                pl.ds(p_al, 2 * SUB),
+                pl.ds(pl.multiple_of(cix * LANE, LANE), LANE),
+            ]
+            return pltpu.roll(blk, -off, 0)[0:SUB]
+
+        def gather_image_multi(probes):
+            """All probes' image values.  Per probe: a STATIC window of 2
+            padded rows x KC chunks anchored at the probe's (min row, min
+            chunk) — coherent probes (one node, narrow depth) are fully
+            served by it.  Lanes any probe leaves uncovered trigger ONE
+            0/1-trip dynamic cleanup sweep over the union range, so arbitrary
+            inputs stay exact, just slower.  Out-of-bounds probes are clamped
+            into the image and masked to 65535 afterwards (tree_eval
+            semantics: OOB reads "very far", decision_tree_common.hpp:8-28).
+            ``probes`` is a list of (yy, xx, active); returns one (SUB, LANE)
+            i32 per probe."""
             def prep(yy, xx, active):
                 oob = (yy < 0) | (yy >= h) | (xx < 0) | (xx >= w)
                 yc = jnp.clip(yy, 0, h - 1)
@@ -149,67 +169,91 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
                 chunk = xc // LANE
                 lane_idx = xc - chunk * LANE
                 srow = yc + APRON_T - r * ii  # padded-row window start
-                return srow, chunk, lane_idx, oob
+                return srow, chunk, lane_idx, oob, active
 
             preps = [prep(yy, xx, act) for (yy, xx, act) in probes]
 
-            # Vector->scalar reductions serialize the pipeline (~us each);
-            # combine all probes elementwise first so exactly 4 remain, and
-            # flatten the (row, chunk) sweep into ONE dynamic loop.
-            smin = preps[0][0]
-            smax = preps[0][0]
-            cmin = preps[0][1]
-            cmax = preps[0][1]
-            for srow, chunk, _, _ in preps[1:]:
-                smin = jnp.minimum(smin, srow)
-                smax = jnp.maximum(smax, srow)
-                cmin = jnp.minimum(cmin, chunk)
-                cmax = jnp.maximum(cmax, chunk)
-            s_lo = jnp.min(smin)
-            s_hi = jnp.max(smax)
-            c_lo = jnp.min(cmin)
-            c_hi = jnp.max(cmax)
-
-            def window(plane_ref, p, cix):
-                """(SUB, LANE) rows [p, p+8) of a plane: Mosaic requires
-                8-aligned sublane starts, so load an aligned 16-row block and
-                roll the residue away."""
-                p_al = pl.multiple_of((p // SUB) * SUB, SUB)
-                off = p - p_al
-                blk = plane_ref[
-                    0,
-                    pl.ds(p_al, 2 * SUB),
-                    pl.ds(pl.multiple_of(cix * LANE, LANE), LANE),
-                ]
-                return pltpu.roll(blk, -off, 0)[0:SUB]
-
-            nc = c_hi - c_lo + 1
-            total = (s_hi - s_lo + 1) * nc
-
-            def body(i, accs):
-                s = s_lo + i // nc
-                cix = c_lo + i % nc
-                if r == 1:
-                    op = window(even_ref, s, cix)
+            accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
+            over = jnp.zeros((SUB, LANE), jnp.bool_)
+            for p, (srow, chunk, lane_idx, oob, active) in enumerate(preps):
+                # Base from ACTIVE lanes only (inactive lanes sit at the
+                # tile's own rows and would drag the window off-target).
+                sb = jnp.min(jnp.where(active, srow, big))
+                cb = jnp.min(jnp.where(active, chunk, big))
+                if r == 2:
+                    half = jnp.clip(sb // 2, 0, max_half)
+                    cb = jnp.clip(cb, 0, n_chunks_img - KC)
+                    rows = []
+                    for dc in range(KC):
+                        rows.append((2 * half, window(even_ref, half, cb + dc)))
+                        rows.append(
+                            (2 * half + 1, window(odd_ref, half, cb + dc))
+                        )
+                    lo_row = 2 * half
+                    hi_row = 2 * half + 1
                 else:
-                    half = s // 2
-                    is_even = (s % 2) == 0
-                    op_e = window(even_ref, half, cix)
-                    op_o = window(odd_ref, half, cix)
-                    op = jnp.where(is_even, op_e, op_o)
-                out = []
-                for acc, (srow, chunk, lane_idx, _) in zip(accs, preps):
-                    sel = (srow == s) & (chunk == cix)
+                    s0 = jnp.clip(sb, 0, max_half - 1)
+                    rows = []
+                    for dc in range(KC):
+                        rows.append((s0, window(even_ref, s0, cb + dc)))
+                        rows.append((s0 + 1, window(even_ref, s0 + 1, cb + dc)))
+                    lo_row = s0
+                    hi_row = s0 + 1
+                for k, (s_val, op) in enumerate(rows):
+                    cix = cb + (k // 2 if r == 2 else k // 2)
+                    sel = (srow == s_val) & (chunk == cix)
                     v = jnp.take_along_axis(op, lane_idx, axis=1)
-                    out.append(jnp.where(sel, v, acc))
-                return tuple(out)
+                    accs[p] = jnp.where(sel, v, accs[p])
+                over |= active & (
+                    (srow < lo_row) | (srow > hi_row)
+                    | (chunk < cb) | (chunk > cb + (KC - 1))
+                )
 
-            init = tuple(
-                jnp.zeros((SUB, LANE), jnp.int32) for _ in probes
+            # Rare exact-coverage fallback: full dynamic union sweep.
+            def cleanup(_, accs_in):
+                smin = preps[0][0]
+                smax = preps[0][0]
+                cmin = preps[0][1]
+                cmax = preps[0][1]
+                for srow, chunk, _, _, _ in preps[1:]:
+                    smin = jnp.minimum(smin, srow)
+                    smax = jnp.maximum(smax, srow)
+                    cmin = jnp.minimum(cmin, chunk)
+                    cmax = jnp.maximum(cmax, chunk)
+                s_lo = jnp.min(smin)
+                s_hi = jnp.max(smax)
+                c_lo = jnp.min(cmin)
+                c_hi = jnp.max(cmax)
+                nc = c_hi - c_lo + 1
+                total = (s_hi - s_lo + 1) * nc
+
+                def body(i, accs2):
+                    s = s_lo + i // nc
+                    cix = c_lo + i % nc
+                    if r == 1:
+                        op = window(even_ref, s, cix)
+                    else:
+                        half2 = s // 2
+                        is_even = (s % 2) == 0
+                        op_e = window(even_ref, half2, cix)
+                        op_o = window(odd_ref, half2, cix)
+                        op = jnp.where(is_even, op_e, op_o)
+                    out = []
+                    for acc, (srow, chunk, lane_idx, _, _) in zip(
+                        accs2, preps
+                    ):
+                        sel = (srow == s) & (chunk == cix)
+                        v = jnp.take_along_axis(op, lane_idx, axis=1)
+                        out.append(jnp.where(sel, v, acc))
+                    return tuple(out)
+
+                return jax.lax.fori_loop(0, total, body, tuple(accs_in))
+
+            accs = jax.lax.fori_loop(
+                0, jnp.any(over).astype(jnp.int32), cleanup, tuple(accs)
             )
-            got = jax.lax.fori_loop(0, total, body, init)
             return tuple(
-                jnp.where(p[3], MAX_UINT16, v) for v, p in zip(got, preps)
+                jnp.where(p[3], MAX_UINT16, v) for v, p in zip(accs, preps)
             )
 
         def chunked_lookup(load_superchunk, g, active, dtype, num_nodes):

@@ -48,6 +48,10 @@ class AppConfig:
     warmup_frames: int = 10
     default_fingertip_thresholds: tuple = (200.0, 160.0, 160.0, 160.0, 160.0)
     midi_base_notes: tuple = (36, 41)  # right, left (3d_bz.py:116-124)
+    # Double-buffered dispatch: tick() dispatches frame N and consumes frame
+    # N-1's results, overlapping device compute with the host fetch + tap
+    # update.  MIDI events trail the camera by one frame (~11 ms at 90 FPS).
+    pipelined: bool = True
 
 
 class BeatsApp:
@@ -103,6 +107,7 @@ class BeatsApp:
         self.frame_times = FrameTimeLog()
         self.frame_num = 0
         self.last_out = None
+        self._pending = None  # in-flight frame output (pipelined mode)
 
     # -- per-frame ------------------------------------------------------------
     def tick(self, frame) -> Optional[dict]:
@@ -129,9 +134,27 @@ class BeatsApp:
         self.timer.record("frame_step")
         out = self.pipeline(depth, self.calibrated_plane.get_mat())
 
+        if self.cfg.pipelined:
+            # Consume the PREVIOUS frame's results while this one computes.
+            out, self._pending = self._pending, out
+            self.frame_num += 1
+            if out is None:
+                self.timer.stop()
+                return None
+
         self.timer.record("host update")
-        heights = np.asarray(out["heights"])
-        valid = np.asarray(out["tip_valid"])
+        self._host_update(out)
+        self.timer.stop()
+
+        if not self.cfg.pipelined:
+            self.frame_num += 1
+        self.last_out = out
+        return out
+
+    def _host_update(self, out):
+        """Tap state machines + MIDI from one frame's device outputs, fetched
+        in a single batched transfer (one host<->device round trip)."""
+        heights, valid = jax.device_get((out["heights"], out["tip_valid"]))
         for hand_idx in range(2):
             # propagate live tunables BEFORE the tap update (3d_bz.py:505-507)
             for f in self.hand_states[hand_idx].fingertips:
@@ -139,12 +162,16 @@ class BeatsApp:
                 f.min_velocity = self.cfg.min_velocity
                 f.max_velocity = self.cfg.max_velocity
             self.hand_states[hand_idx].update(
-                heights[hand_idx], valid[hand_idx], self.cfg.z_thresh_offset
+                np.asarray(heights[hand_idx]), np.asarray(valid[hand_idx]),
+                self.cfg.z_thresh_offset,
             )
-        self.timer.stop()
 
-        self.frame_num += 1
-        self.last_out = out
+    def flush(self) -> Optional[dict]:
+        """Drain the in-flight frame (pipelined mode) at stream end."""
+        out, self._pending = self._pending, None
+        if out is not None:
+            self._host_update(out)
+            self.last_out = out
         return out
 
     def recalibrate_plane(self):
@@ -176,6 +203,7 @@ class BeatsApp:
                 n += 1
                 if max_frames and n >= max_frames:
                     break
+            self.flush()
         finally:
             self.source.stop()
         return n

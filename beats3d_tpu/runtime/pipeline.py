@@ -89,6 +89,68 @@ def _fingertip_heights(
     return heights, valid, jnp.stack([px, py], axis=-1)
 
 
+def _frame_front(raw_depth, plane_mat, pp, focal_x, gauss_kernel,
+                 plane_z_threshold, group_min_size, cfg: PipelineConfig):
+    """Preprocess one frame through stencils: raw depth -> per-hand depth
+    stack (right, mirrored-left), grown group image, group info."""
+    pts = points.deproject_points(raw_depth, pp, focal_x)
+    q = points.transform_points(pts, plane_mat)
+    qf = points.filter_points_by_plane(q, plane_z_threshold)
+    depth1 = points.remove_missing_3d_points_from_depth_image(qf, raw_depth)
+    depth1 = points.gaussian_depth_filter(depth1, gauss_kernel)
+
+    small = points.shrink_image(depth1, cfg.depth_mm_level)
+    groups_small, g_info = components.make_hand_groups(small, group_min_size)
+    grown = points.grow_groups(groups_small)
+
+    d_right = points.stencil_depth_image_by_group(
+        grown, depth1, cfg.depth_mm_level, 1
+    )
+    d_left = points.flip_x(
+        points.stencil_depth_image_by_group(grown, depth1, cfg.depth_mm_level, 2)
+    )
+    hand_depth = points.convert_0s_to_maxuint(jnp.stack([d_right, d_left]))
+    return hand_depth, grown, g_info, groups_small
+
+
+def _crop_origins(grown, cfg: PipelineConfig, h, w):
+    """Per-hand crop origins around the grown group bbox (the left hand's
+    stencil image was mirrored, so its bbox is mirrored too) and the
+    exceeds-crop flag.  Origins are even so the r=2 label grid stays
+    aligned."""
+    ch, cw = cfg.crop_h, cfg.crop_w
+    f = 1 << cfg.depth_mm_level
+
+    def bbox_fullres(gid, mirrored):
+        m = grown == gid
+        rows = jnp.any(m, axis=1)
+        cols = jnp.any(m, axis=0)
+        hs, ws = m.shape
+        ylo = jnp.argmax(rows).astype(jnp.int32) * f
+        yhi = (hs - jnp.argmax(rows[::-1]).astype(jnp.int32)) * f
+        xlo = jnp.argmax(cols).astype(jnp.int32) * f
+        xhi = (ws - jnp.argmax(cols[::-1]).astype(jnp.int32)) * f
+        yhi = jnp.minimum(yhi, h)
+        xhi = jnp.minimum(xhi, w)
+        if mirrored:
+            xlo, xhi = w - xhi, w - xlo
+        present = jnp.any(rows)
+        return ylo, yhi, xlo, xhi, present
+
+    def origin(lo, hi, crop, dim):
+        c = (lo + hi - crop) // 2
+        c = jnp.clip(c, 0, dim - crop)
+        return (c // 2) * 2
+
+    oys, oxs, too_big = [], [], jnp.bool_(False)
+    for gid, mirrored in ((1, False), (2, True)):
+        ylo, yhi, xlo, xhi, present = bbox_fullres(gid, mirrored)
+        oys.append(origin(ylo, yhi, ch, h))
+        oxs.append(origin(xlo, xhi, cw, w))
+        too_big |= present & ((yhi - ylo > ch) | (xhi - xlo > cw))
+    return jnp.stack(oys), jnp.stack(oxs), too_big
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -131,25 +193,12 @@ def frame_step(
     cfgv = cfg
     h, w = raw_depth.shape
 
-    pts = points.deproject_points(raw_depth, pp, focal_x)
-    q = points.transform_points(pts, plane_mat)
-    qf = points.filter_points_by_plane(q, plane_z_threshold)
-    depth1 = points.remove_missing_3d_points_from_depth_image(qf, raw_depth)
-    depth1 = points.gaussian_depth_filter(depth1, gauss_kernel)
-
-    small = points.shrink_image(depth1, cfgv.depth_mm_level)
-    groups_small, g_info = components.make_hand_groups(small, group_min_size)
-    grown = points.grow_groups(groups_small)
-
     # Per-hand stencil; the left hand (group 2) is mirrored so the right-hand
     # model applies (3d_bz.py:406-414), then both hands run BATCHED.
-    d_right = points.stencil_depth_image_by_group(
-        grown, depth1, cfgv.depth_mm_level, 1
+    hand_depth, grown, g_info, groups_small = _frame_front(
+        raw_depth, plane_mat, pp, focal_x, gauss_kernel,
+        plane_z_threshold, group_min_size, cfgv,
     )
-    d_left = points.flip_x(
-        points.stencil_depth_image_by_group(grown, depth1, cfgv.depth_mm_level, 2)
-    )
-    hand_depth = points.convert_0s_to_maxuint(jnp.stack([d_right, d_left]))
 
     scale_factor = jnp.float32(w) / jnp.float32(cfgv.train_dim_x)
     r = cfgv.labels_reduce
@@ -172,38 +221,7 @@ def frame_step(
     ch, cw = cfgv.crop_h, cfgv.crop_w
     use_crop = ch < h and cw < w and ch % 16 == 0 and cw % 16 == 0
     if use_crop:
-        # Per-hand bbox from the grown mip-level stencil.  The left hand's
-        # stencil image was mirrored above, so mirror its bbox too.
-        mip = cfgv.depth_mm_level
-        f = 1 << mip
-
-        def bbox_fullres(gid, mirrored):
-            m = grown == gid
-            rows = jnp.any(m, axis=1)
-            cols = jnp.any(m, axis=0)
-            hs, ws = m.shape
-            ylo = jnp.argmax(rows).astype(jnp.int32) * f
-            yhi = (hs - jnp.argmax(rows[::-1]).astype(jnp.int32)) * f
-            xlo = jnp.argmax(cols).astype(jnp.int32) * f
-            xhi = (ws - jnp.argmax(cols[::-1]).astype(jnp.int32)) * f
-            yhi = jnp.minimum(yhi, h)
-            xhi = jnp.minimum(xhi, w)
-            if mirrored:
-                xlo, xhi = w - xhi, w - xlo
-            present = jnp.any(rows)
-            return ylo, yhi, xlo, xhi, present
-
-        def origin(lo, hi, crop, dim):
-            c = (lo + hi - crop) // 2
-            c = jnp.clip(c, 0, dim - crop)
-            return (c // 2) * 2  # even: label grid (r=2) stays aligned
-
-        oys, oxs, too_big = [], [], jnp.bool_(False)
-        for i, (gid, mirrored) in enumerate(((1, False), (2, True))):
-            ylo, yhi, xlo, xhi, present = bbox_fullres(gid, mirrored)
-            oys.append(origin(ylo, yhi, ch, h))
-            oxs.append(origin(xlo, xhi, cw, w))
-            too_big |= present & ((yhi - ylo > ch) | (xhi - xlo > cw))
+        oys, oxs, too_big = _crop_origins(grown, cfgv, h, w)
 
         def eval_cropped(hand_depth):
             crops = jnp.stack([
@@ -256,6 +274,160 @@ def frame_step(
     }
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "filter_specs", "num_layered_classes", "backend", "metas",
+        "num_cond",
+    ),
+)
+def frame_step_batched(
+    raw_depth: jnp.ndarray,   # (B, H, W) uint16
+    plane_mat: jnp.ndarray,   # (4, 4) shared calibration (recorded session)
+    pp: jnp.ndarray,
+    focal_x,
+    focal_y,
+    layer_tables: Tuple,
+    conditions: jnp.ndarray,
+    variances: jnp.ndarray,
+    gauss_kernel: jnp.ndarray,
+    plane_z_threshold,
+    group_min_size,
+    *,
+    cfg: PipelineConfig,
+    filter_specs: Tuple,
+    num_layered_classes: int,
+    backend: str = "xla",
+    metas: Tuple = None,
+    conditions_packed=None,
+    num_cond: int = None,
+):
+    """Many frames -> fingertips in ONE program — the offline/throughput path.
+
+    All 2B hand crops run through a single fused eval dispatch and mean shift
+    runs on the crops (means are exactly mirrored/offset back to screen
+    coordinates; only reduction order differs from the single-frame path).
+    The crop->full fallback is batch-level: if any frame's hand exceeds the
+    crop window, the whole batch evaluates full-frame.
+
+    Returns the same dict as :func:`frame_step` with a leading batch axis
+    (minus groups_small).
+    """
+    cfgv = cfg
+    b, h, w = raw_depth.shape
+    r = cfgv.labels_reduce
+    hl, wl = h // r, w // r
+    ch, cw = cfgv.crop_h, cfgv.crop_w
+    use_crop = ch < h and cw < w and ch % 16 == 0 and cw % 16 == 0
+
+    def front(raw):
+        hand_depth, grown, g_info, _ = _frame_front(
+            raw, plane_mat, pp, focal_x, gauss_kernel,
+            plane_z_threshold, group_min_size, cfgv,
+        )
+        if use_crop:
+            oys, oxs, too_big = _crop_origins(grown, cfgv, h, w)
+            crops = jnp.stack([
+                jax.lax.dynamic_slice(
+                    hand_depth[i], (oys[i], oxs[i]), (ch, cw)
+                )
+                for i in range(2)
+            ])
+        else:
+            oys = oxs = jnp.zeros((2,), jnp.int32)
+            too_big = jnp.bool_(True)
+            crops = hand_depth[:, :1, :1]  # unused
+        return hand_depth, crops, g_info, oys, oxs, too_big
+
+    hand_depth, crops, g_info, oys, oxs, too_big = jax.vmap(front)(raw_depth)
+
+    scale_factor = jnp.float32(w) / jnp.float32(cfgv.train_dim_x)
+
+    def eval_layers(depth_imgs):
+        return run_layered(
+            depth_imgs, layer_tables, conditions,
+            filter_specs=filter_specs, labels_reduce=cfgv.labels_reduce,
+            scale_factor=scale_factor, backend=backend, metas=metas,
+            conditions_packed=conditions_packed, num_cond=num_cond,
+        )
+
+    def run_ms(labels_2d):
+        return meanshift.mean_shift(
+            labels_2d, variances, num_classes=num_layered_classes,
+            num_rounds=cfgv.mean_shift_rounds,
+        )
+
+    def full_path(_):
+        lab = eval_layers(hand_depth.reshape(2 * b, h, w)).reshape(
+            b, 2, hl, wl
+        )
+        labels_screen = jnp.stack(
+            [lab[:, 0], points.flip_x(lab[:, 1])], axis=1
+        )
+        means = jax.vmap(jax.vmap(run_ms))(labels_screen)
+        return labels_screen, means
+
+    def crop_path(_):
+        lc = eval_layers(crops.reshape(2 * b, ch, cw)).reshape(
+            b, 2, ch // r, cw // r
+        )
+
+        def scatter(lci, oy, ox, mirrored):
+            canvas = jnp.full((hl, wl), 65535, lci.dtype)
+            out = jax.lax.dynamic_update_slice(canvas, lci, (oy // r, ox // r))
+            return points.flip_x(out) if mirrored else out
+
+        labels_screen = jnp.stack([
+            jax.vmap(scatter, in_axes=(0, 0, 0, None))(
+                lc[:, 0], oys[:, 0], oxs[:, 0], False
+            ),
+            jax.vmap(scatter, in_axes=(0, 0, 0, None))(
+                lc[:, 1], oys[:, 1], oxs[:, 1], True
+            ),
+        ], axis=1)
+
+        # Mean shift on the crops; shift back to screen coords.  A mirrored
+        # image yields the exactly mirrored mode (the gaussian weights are
+        # even in dx), so the left hand's mode maps through x -> wl-1-x.
+        m = jax.vmap(jax.vmap(run_ms))(lc)  # (B, 2, C, 2) crop coords
+        mx, my = m[..., 0], m[..., 1]
+        ox_l = (oxs[..., None] // r).astype(jnp.float32)
+        oy_l = (oys[..., None] // r).astype(jnp.float32)
+        sx = ox_l + mx
+        sy = oy_l + my
+        sx = sx.at[:, 1].set((wl - 1) - sx[:, 1])
+        means = jnp.stack([sx, sy], axis=-1)
+        return labels_screen, means
+
+    if use_crop:
+        labels, ms = jax.lax.cond(
+            jnp.any(too_big), full_path, crop_path, None
+        )
+    else:
+        labels, ms = full_path(None)
+
+    def tips_one(raw, means_hand):
+        return _fingertip_heights(
+            raw, means_hand, plane_mat, pp, focal_x, focal_y, cfgv,
+            cfgv.fingertip_label_ids,
+        )
+
+    tips = jax.vmap(
+        lambda raw, m2: tuple(
+            jnp.stack(z) for z in zip(*[tips_one(raw, m2[i]) for i in range(2)])
+        )
+    )(raw_depth, ms)
+
+    return {
+        "labels": labels,
+        "means": ms,
+        "heights": tips[0],
+        "tip_valid": tips[1],
+        "tip_px": tips[2],
+        "g_info": g_info,
+    }
+
+
 class FramePipeline:
     """Host-side wrapper binding a layered model + intrinsics + tunables to the
     jitted ``frame_step``.  Owns no mutable device state; every call is pure."""
@@ -302,20 +474,51 @@ class FramePipeline:
         self._filter_specs = tuple(
             (l.filter_model, l.filter_model_class) for l in model.layers
         )
+        # Per-call device constants, uploaded once (each jnp.asarray in the
+        # call path costs a host->device transfer per frame otherwise).
+        self._pp = jnp.asarray(self.intrin.pp)
+        self._fx = jnp.float32(self.intrin.fx)
+        self._fy = jnp.float32(self.intrin.fy)
+        self._zthr = jnp.float32(self.plane_z_threshold)
+        self._gms = jnp.float32(self.group_min_size)
 
     def __call__(self, raw_depth, plane_mat):
         return frame_step(
             raw_depth,
             plane_mat,
-            jnp.asarray(self.intrin.pp),
-            jnp.float32(self.intrin.fx),
-            jnp.float32(self.intrin.fy),
+            self._pp,
+            self._fx,
+            self._fy,
             self._tables,
             self.model.conditions,
             self.variances,
             self.gauss_kernel,
-            jnp.float32(self.plane_z_threshold),
-            jnp.float32(self.group_min_size),
+            self._zthr,
+            self._gms,
+            cfg=self.cfg,
+            filter_specs=self._filter_specs,
+            num_layered_classes=self.model.num_layered_classes,
+            backend=self.backend,
+            metas=self._metas,
+            conditions_packed=self._cond_packed,
+            num_cond=self._num_cond,
+        )
+
+    def batch(self, raw_depths, plane_mat):
+        """Throughput path: (B, H, W) frames with one shared plane
+        calibration -> batched outputs (see :func:`frame_step_batched`)."""
+        return frame_step_batched(
+            raw_depths,
+            plane_mat,
+            self._pp,
+            self._fx,
+            self._fy,
+            self._tables,
+            self.model.conditions,
+            self.variances,
+            self.gauss_kernel,
+            self._zthr,
+            self._gms,
             cfg=self.cfg,
             filter_specs=self._filter_specs,
             num_layered_classes=self.model.num_layered_classes,
