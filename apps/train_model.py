@@ -39,6 +39,14 @@ def main():
     parser.add_argument("-d", "--data", required=True, type=str,
                         help="Directory containing the training data")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--streaming", action="store_true",
+                        help="Ship image blocks host->device per use "
+                             "(bounded HBM; compressed host storage)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Distribute training over a device mesh, "
+                             "'DATAxMODEL' (e.g. 4x2): histograms are "
+                             "data-parallel over images and model-parallel "
+                             "over proposals, bit-identical to single-chip")
     args = parser.parse_args()
 
     print("loading training data")
@@ -46,6 +54,20 @@ def main():
         (args.train, args.train_block, "train"),
         (args.test, None, "test"),
     ])
+
+    mesh = None
+    if args.mesh:
+        from beats3d_tpu.parallel import make_mesh
+        n_data, n_model = (int(v) for v in args.mesh.split("x"))
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        print(f"training on mesh data={n_data} model={n_model}")
+
+    if args.streaming:
+        from beats3d_tpu.data.blocks import CompressedDataset
+        train_data = CompressedDataset(train_data)
+        print(f"streaming compressed blocks: depth "
+              f"{train_data.depth.compression_ratio:.1f}x, labels "
+              f"{train_data.labels.compression_ratio:.1f}x")
 
     forest = train_forest(
         train_data,
@@ -57,6 +79,8 @@ def main():
         trees_in_forest=args.out_trees,
         trees_to_try=args.trees_to_try,
         rng=np.random.default_rng(args.seed),
+        streaming=args.streaming,
+        mesh=mesh,
     )
 
     print("saving model output!")

@@ -51,14 +51,21 @@ def train_forest(
     trees_to_try: Optional[int] = None,
     rng: Optional[np.random.Generator] = None,
     log=print,
+    streaming: bool = False,
+    mesh=None,
 ) -> DecisionForest:
     """Train ``trees_to_try`` candidate trees, keep the ``trees_in_forest``
-    best by held-out pct_match, return the assembled forest."""
+    best by held-out pct_match, return the assembled forest.
+
+    ``streaming`` ships image blocks host->device per use (bounded HBM);
+    ``mesh`` distributes histograms over a (data, model) device mesh."""
     rng = rng or np.random.default_rng()
     trees_to_try = trees_to_try or trees_in_forest
     images_per_block = images_per_block or train_data.num_images
 
-    trainer = DecisionTreeTrainer(images_per_block, proposals_per_block)
+    trainer = DecisionTreeTrainer(
+        images_per_block, proposals_per_block, streaming=streaming, mesh=mesh
+    )
     trainer.allocate(train_data, num_random_features, max_tree_depth)
 
     c = train_data.num_classes()

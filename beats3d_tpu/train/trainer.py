@@ -284,12 +284,25 @@ class DecisionTreeTrainer:
         max_nodes_per_block: int = 1 << 17,   # decision_tree.py:427
         matmul_bins_limit: int = 1 << 14,
         pixel_chunk: int = 1 << 13,
+        streaming: bool = False,
+        mesh=None,
     ):
+        """``streaming=True`` bounds device memory: image/label/node blocks
+        live on the HOST (optionally zlib-compressed via
+        data.blocks.CompressedDataset) and ship to the device per use — the
+        reference's nvcomp economy (compressed_blocks.py decompress-per-use,
+        decision_tree.py:505-510) with HBM as the scarce resource instead of
+        GPU RAM.  ``mesh`` (a jax Mesh with 'data' and 'model' axes) runs the
+        histogram step data-parallel over image rows and model-parallel over
+        proposals with exact integer psum merging — bit-identical trees to
+        the single-chip path."""
         self.images_per_block = num_images_per_image_block
         self.proposals_per_block = num_proposals_per_proposal_block
         self.max_nodes_per_block = max_nodes_per_block
         self.matmul_bins_limit = matmul_bins_limit
         self.pixel_chunk = pixel_chunk
+        self.streaming = streaming
+        self.mesh = mesh
 
     def allocate(self, dataset, num_random_features: int, max_tree_depth: int):
         assert dataset.num_images % self.images_per_block == 0
@@ -297,6 +310,13 @@ class DecisionTreeTrainer:
             "int32 histogram accumulators: split the dataset"
         )
         assert num_random_features % self.proposals_per_block == 0
+        if self.mesh is not None:
+            assert self.images_per_block % self.mesh.shape["data"] == 0, (
+                "image block size must divide the mesh data axis"
+            )
+            assert self.proposals_per_block % self.mesh.shape["model"] == 0, (
+                "proposal block size must divide the mesh model axis"
+            )
         self.num_random_features = num_random_features
         self.max_tree_depth = max_tree_depth
         self.num_image_blocks = dataset.num_images // self.images_per_block
@@ -316,26 +336,39 @@ class DecisionTreeTrainer:
         tree.data[:] = 0.0
 
         w, h = dataset.img_dims
-        # per-image-block device state
-        depth_blocks = [
-            jnp.asarray(dataset.get_depth_block(i))
-            for i in range(self.num_image_blocks)
-        ]
-        labels_blocks = [
-            jnp.asarray(dataset.get_labels_block(i))
-            for i in range(self.num_image_blocks)
-        ]
+        resident = not self.streaming
+        # per-image-block state: device-resident, or host-side shipped per use
+        depth_blocks = []
+        labels_blocks = []
         nodes_blocks = []
         node_counts = np.zeros((1 << d, c), dtype=np.int64)
         for i in range(self.num_image_blocks):
-            lab = np.asarray(labels_blocks[i])
+            lab = dataset.get_labels_block(i)
             un, cnt = np.unique(lab, return_counts=True)
             for label_id, n in zip(un, cnt):
                 if label_id > 0:
                     node_counts[0, label_id] += n
             nodes = np.full(lab.shape, -1, dtype=np.int32)
             nodes[lab > 0] = 0
-            nodes_blocks.append(jnp.asarray(nodes))
+            if resident:
+                depth_blocks.append(jnp.asarray(dataset.get_depth_block(i)))
+                labels_blocks.append(jnp.asarray(lab))
+                nodes_blocks.append(jnp.asarray(nodes))
+            else:
+                nodes_blocks.append(nodes)
+
+        def fetch(ib):
+            """(depth, labels, nodes) device arrays for one image block."""
+            if resident:
+                return depth_blocks[ib], labels_blocks[ib], nodes_blocks[ib]
+            return (
+                jnp.asarray(dataset.get_depth_block(ib)),
+                jnp.asarray(dataset.get_labels_block(ib)),
+                jnp.asarray(nodes_blocks[ib]),
+            )
+
+        if self.mesh is not None:
+            from ..parallel.train_sharded import sharded_histogram_step
 
         active = np.array([0], dtype=np.int32)
 
@@ -374,17 +407,23 @@ class DecisionTreeTrainer:
                     left = jnp.zeros((self.proposals_per_block, w2, c), jnp.int32)
                     total = jnp.zeros((w2, c), jnp.int32)
                     for ib in range(self.num_image_blocks):
-                        l_i, t_i = _histogram_step(
-                            depth_blocks[ib],
-                            labels_blocks[ib],
-                            nodes_blocks[ib],
-                            props,
-                            num_classes=c,
-                            w2=w2,
-                            node_lo=lo,
-                            chunk=self.pixel_chunk,
-                            use_matmul=use_matmul,
-                        )
+                        d_b, l_b, n_b = fetch(ib)
+                        if self.mesh is not None:
+                            l_i, t_i = sharded_histogram_step(
+                                d_b, l_b, n_b, props, self.mesh,
+                                num_classes=c, w2=w2, node_lo=lo,
+                                chunk=self.pixel_chunk,
+                                use_matmul=use_matmul,
+                            )
+                        else:
+                            l_i, t_i = _histogram_step(
+                                d_b, l_b, n_b, props,
+                                num_classes=c,
+                                w2=w2,
+                                node_lo=lo,
+                                chunk=self.pixel_chunk,
+                                use_matmul=use_matmul,
+                            )
                         left = left + l_i
                         total = total + t_i
 
@@ -445,8 +484,10 @@ class DecisionTreeTrainer:
             level_params = jnp.asarray(lvl[:, 0:5])
             level_status = jnp.asarray(np.floor(lvl[:, 5:7]).astype(np.int32))
             for ib in range(self.num_image_blocks):
-                nodes_blocks[ib] = _advance_step(
-                    depth_blocks[ib], nodes_blocks[ib], level_params, level_status
+                d_b, _, n_b = fetch(ib)
+                advanced = _advance_step(d_b, n_b, level_params, level_status)
+                nodes_blocks[ib] = (
+                    advanced if resident else np.asarray(advanced)
                 )
             active = np.array(sorted(next_active), dtype=np.int32)
 

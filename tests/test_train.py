@@ -95,3 +95,45 @@ def test_train_forest_driver(rng):
     )
     assert forest.data.shape == (2, 15, 15)
     assert forest.pct_match > 0.5
+
+
+def test_streaming_matches_resident(rng):
+    """streaming=True (host blocks shipped per use, compressed) must produce
+    the bit-identical tree."""
+    from beats3d_tpu.data.blocks import CompressedDataset
+
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=4, h=16, w=24)
+    ds = ArrayDataset(depth, labels, 4, images_per_block=2)
+    proposals = [[make_random_features(16, rng)] for _ in range(4)]
+
+    def run(dataset, streaming):
+        trainer = DecisionTreeTrainer(2, 16, streaming=streaming)
+        trainer.allocate(dataset, 16, 4)
+        tree = DecisionTree(4, 4)
+        trainer.train(dataset, tree, proposals_per_level=proposals)
+        return tree.data
+
+    a = run(ds, False)
+    b = run(CompressedDataset(ds), True)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_training_matches_single(rng):
+    """The (data, model) mesh path must produce the bit-identical tree (exact
+    integer psum merge + lowest-global-index tie resolution)."""
+    from beats3d_tpu.parallel import make_mesh
+
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=4, h=16, w=24)
+    ds = ArrayDataset(depth, labels, 4, images_per_block=4)
+    proposals = [[make_random_features(16, rng)] for _ in range(4)]
+
+    def run(mesh):
+        trainer = DecisionTreeTrainer(4, 16, mesh=mesh)
+        trainer.allocate(ds, 16, 4)
+        tree = DecisionTree(4, 4)
+        trainer.train(ds, tree, proposals_per_level=proposals)
+        return tree.data
+
+    a = run(None)
+    b = run(make_mesh(n_data=4, n_model=2))
+    np.testing.assert_array_equal(a, b)
