@@ -41,7 +41,9 @@ def main():
     if args.session:
         source = camera.RecordedSource(args.session)
     elif args.bag_in:
-        source = camera.RealSenseSource(bag=args.bag_in)
+        # color must be reprojected into the depth frame for labeling
+        # (rs.align; reference live_data_convert.py:396-400)
+        source = camera.RealSenseSource(bag=args.bag_in, align_color=True)
     else:
         parser.error("need --session or --bag_in")
 
@@ -50,6 +52,7 @@ def main():
         plane_z_threshold=args.plane_z_threshold,
         max_images=args.max_images,
         gaussian_noise=args.gaussian_noise,
+        frames_timestamp_max_diff=args.frames_timestamp_max_diff,
         mask_label=args.mask_label,
     )
     mask_model = DecisionForest.load(args.mask_model) if args.mask_model else None
@@ -61,11 +64,18 @@ def main():
     for frame in source.frames():
         if frame.color is None:
             continue
-        if not conv.process_frame(frame.depth, frame.color):
+        if not conv.process_frame(
+            frame.depth, frame.color,
+            depth_timestamp=frame.timestamp,
+            color_timestamp=frame.color_timestamp,
+        ):
             break
     source.stop()
     out_cfg = conv.finish()
-    print(f"wrote {out_cfg['num_images']} images to {args.out}")
+    print(
+        f"wrote {out_cfg['num_images']} images to {args.out} "
+        f"({conv.frames_skipped} pairs rejected by timestamp gate)"
+    )
 
 
 if __name__ == "__main__":

@@ -43,7 +43,15 @@ class DatagenConfig:
     scale_skew_variance: float = 0.0
     rotate_variance: float = 0.0
     translate_variance: float = 0.0
-    gaussian_noise: float = 0.0      # sigma for optional depth smoothing
+    # Pre-rerender depth smoothing sigma (>0.1 enables; k_size=15), applied to
+    # the plane-filtered depth image and re-deprojected before augmentation
+    # (live_data_convert.py:381-391; NOTE the reference computes this filter
+    # but lets the re-render overwrite it — here the smoothed surface actually
+    # feeds the re-render, which is the evident intent of the flag).
+    gaussian_noise: float = 0.0
+    # Reject depth/color pairs whose capture timestamps diverge by more than
+    # this many MILLISECONDS (live_data_convert.py:306-317).
+    frames_timestamp_max_diff: float = 6.0
     max_images: Optional[int] = None
     mask_label: Optional[int] = None
 
@@ -97,6 +105,20 @@ def _rerender(pts_plane, colors, inv_plane, aug, pp, focal):
     return render.fill_holes(d, c)
 
 
+@jax.jit
+def _rerender_smoothed(pts_plane, colors, inv_plane, aug, kernel, pp, focal):
+    """Like :func:`_rerender`, but the camera-space cloud is re-sampled
+    through a gaussian-smoothed depth image first (depths_from_points ->
+    gaussian_depth_filter -> deproject; live_data_convert.py:374-391)."""
+    cam = points.transform_points(pts_plane, inv_plane)
+    d = points.depths_from_points(cam)
+    d = points.gaussian_depth_filter(d, kernel)
+    cam = points.deproject_points(d, pp, focal)
+    cam = points.transform_points(cam, aug)
+    d, c = render.splat_points(cam, colors, pp, focal)
+    return render.fill_holes(d, c)
+
+
 @functools.partial(jax.jit, static_argnames=("num_colors",))
 def _label_frame(color, palette, *, num_colors):
     """Snap colors to the palette and emit label ids 1..num_colors
@@ -141,13 +163,30 @@ class LiveDataConvert:
         )
         self.palette = None
         self.frame_count = 0
+        self.frames_skipped = 0
         self._pp = jnp.asarray(intrinsics.pp)
         self._f = jnp.float32(intrinsics.fx)
+        self._gauss = (
+            jnp.asarray(points.gaussian_kernel(15, cfg.gaussian_noise))
+            if cfg.gaussian_noise > 0.1   # live_data_convert.py:382
+            else None
+        )
 
-    def process_frame(self, depth: np.ndarray, color: np.ndarray):
+    def process_frame(self, depth: np.ndarray, color: np.ndarray,
+                      depth_timestamp: Optional[float] = None,
+                      color_timestamp: Optional[float] = None):
         cfg = self.cfg
         if cfg.max_images and self.frame_count >= cfg.max_images:
             return False
+        # only process pairs whose timestamps overlap reasonably well
+        # (live_data_convert.py:306-317; timestamps in seconds, gate in ms)
+        if depth_timestamp is not None and color_timestamp is not None:
+            if (
+                abs(depth_timestamp - color_timestamp) * 1e3
+                > cfg.frames_timestamp_max_diff
+            ):
+                self.frames_skipped += 1
+                return True
         depth_j = jnp.asarray(depth)
 
         if (
@@ -175,10 +214,16 @@ class LiveDataConvert:
         )
         inv_plane = np.linalg.inv(np.asarray(mat, np.float64)).astype(np.float32)
 
-        d_new, c_new = _rerender(
-            qf, jnp.asarray(color), jnp.asarray(inv_plane), jnp.asarray(aug),
-            self._pp, self._f,
-        )
+        if self._gauss is not None:
+            d_new, c_new = _rerender_smoothed(
+                qf, jnp.asarray(color), jnp.asarray(inv_plane),
+                jnp.asarray(aug), self._gauss, self._pp, self._f,
+            )
+        else:
+            d_new, c_new = _rerender(
+                qf, jnp.asarray(color), jnp.asarray(inv_plane),
+                jnp.asarray(aug), self._pp, self._f,
+            )
 
         if self.mask_tables is not None:
             d_forest = points.convert_0s_to_maxuint(d_new)

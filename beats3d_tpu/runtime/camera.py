@@ -28,6 +28,9 @@ class Frame:
     depth: np.ndarray  # (H, W) uint16, 0.1 mm units
     timestamp: float
     color: Optional[np.ndarray] = None  # (H, W, 3) uint8 when available
+    # The color frame's own capture time (seconds); depth/color pairs whose
+    # timestamps diverge are rejected by datagen (live_data_convert.py:306-317)
+    color_timestamp: Optional[float] = None
 
 
 def add_args(parser):
@@ -66,6 +69,9 @@ class RecordedSource:
         self.depth = data["depth"]
         self.timestamps = data["timestamps"]
         self.color = data["color"] if "color" in data else None
+        self.color_timestamps = (
+            data["color_timestamps"] if "color_timestamps" in data else None
+        )
         n, h, w = self.depth.shape
         self.intrinsics = CameraIntrinsics(
             width=w, height=h,
@@ -81,6 +87,10 @@ class RecordedSource:
                     depth=self.depth[i],
                     timestamp=float(self.timestamps[i]),
                     color=None if self.color is None else self.color[i],
+                    color_timestamp=(
+                        None if self.color_timestamps is None
+                        else float(self.color_timestamps[i])
+                    ),
                 )
             if not self.loop:
                 return
@@ -97,6 +107,9 @@ def record_session(path: str, frames, intrinsics: CameraIntrinsics):
     kw = {}
     if all(c is not None for c in colors) and colors:
         kw["color"] = np.stack(colors)
+    cts = [f.color_timestamp for f in frames]
+    if all(t is not None for t in cts) and cts:
+        kw["color_timestamps"] = np.array(cts)
     np.savez_compressed(
         path, depth=depth, timestamps=ts,
         fx=intrinsics.fx, fy=intrinsics.fy,
@@ -149,7 +162,11 @@ class RealSenseSource:
     """Live camera / .bag playback via pyrealsense2 (reference rs_util.py)."""
 
     def __init__(self, bag: Optional[str] = None, half_resolution: bool = False,
-                 config_json: Optional[str] = "hand_config.json"):
+                 config_json: Optional[str] = "hand_config.json",
+                 align_color: bool = False):
+        """``align_color`` reprojects the color stream into the depth
+        camera's frame per pair (rs.align; live_data_convert.py:396-400) —
+        required when color drives labeling (datagen)."""
         try:
             import pyrealsense2 as rs  # type: ignore
         except ImportError as e:  # pragma: no cover - hardware path
@@ -157,6 +174,7 @@ class RealSenseSource:
                 "pyrealsense2 not available; use --session or --synthetic"
             ) from e
         self._rs = rs
+        self._align = rs.align(rs.stream.depth) if align_color else None
         self.pipeline = rs.pipeline()
         config = rs.config()
         if bag:
@@ -186,6 +204,8 @@ class RealSenseSource:
     def frames(self) -> Iterator[Frame]:  # pragma: no cover - hardware path
         while True:
             frames = self.pipeline.wait_for_frames()
+            if self._align is not None and frames.get_color_frame():
+                frames = self._align.process(frames)
             depth_frame = frames.get_depth_frame()
             if not depth_frame:
                 continue
@@ -195,6 +215,11 @@ class RealSenseSource:
                 timestamp=depth_frame.get_timestamp() / 1000.0,
                 color=(
                     np.asanyarray(color_frame.get_data())
+                    if color_frame
+                    else None
+                ),
+                color_timestamp=(
+                    color_frame.get_timestamp() / 1000.0
                     if color_frame
                     else None
                 ),

@@ -104,3 +104,56 @@ def test_compressed_dataset_trains(rng):
     tree = DecisionTree(3, 4)
     trainer.train(cds, tree, rng=np.random.default_rng(0))
     assert np.abs(tree.data).sum() > 0
+
+
+def test_timestamp_gate_rejects_skewed_pairs(tmp_path, rng):
+    """Pairs with |depth_ts - color_ts| > frames_timestamp_max_diff ms are
+    skipped without consuming an output slot (live_data_convert.py:306-317)."""
+    intrin = CameraIntrinsics.d415(106, 60)
+    cfg = DatagenConfig(
+        num_colors=3, color_em_tries=2, color_em_iterations=8,
+        plane_candidates=512, frames_timestamp_max_diff=6.0,
+    )
+    conv = LiveDataConvert(str(tmp_path / "ds"), intrin, cfg, rng=rng,
+                           log=lambda *a: None)
+    depth, color = _colored_scene(intrin)
+    assert conv.process_frame(depth, color, depth_timestamp=0.0,
+                              color_timestamp=0.004)      # 4 ms: ok
+    assert conv.process_frame(depth, color, depth_timestamp=0.1,
+                              color_timestamp=0.110)      # 10 ms: rejected
+    assert conv.process_frame(depth, color)               # no timestamps: ok
+    assert conv.frame_count == 2
+    assert conv.frames_skipped == 1
+
+
+def test_gaussian_noise_smooths_output(tmp_path, rng):
+    """gaussian_noise > 0.1 must actually change (and smooth) the re-rendered
+    depth (the previously dead DatagenConfig.gaussian_noise)."""
+    intrin = CameraIntrinsics.d415(106, 60)
+    depth, color = _colored_scene(intrin)
+    depth = depth + (rng.integers(0, 12, depth.shape)).astype(np.uint16)
+
+    outs = {}
+    for sigma in (0.0, 3.0):
+        cfg = DatagenConfig(
+            num_colors=3, color_em_tries=2, color_em_iterations=8,
+            plane_candidates=512, gaussian_noise=sigma, max_images=1,
+        )
+        conv = LiveDataConvert(str(tmp_path / f"ds{sigma}"), intrin, cfg,
+                               rng=np.random.default_rng(0), log=lambda *a: None)
+        assert conv.process_frame(depth, color)
+        from PIL import Image
+        outs[sigma] = np.asarray(
+            Image.open(tmp_path / f"ds{sigma}" / "00000000_depth.png")
+        ).astype(np.int64)
+
+    a, b = outs[0.0], outs[3.0]
+    assert (a != b).any(), "gaussian_noise changed nothing"
+    # smoothed surface has lower local roughness on valid pixels
+    def roughness(d):
+        v = d.copy()
+        m = (v != 65535)
+        dx = np.abs(np.diff(v, axis=1))
+        mm = m[:, 1:] & m[:, :-1]
+        return dx[mm].mean()
+    assert roughness(b) < roughness(a), (roughness(a), roughness(b))
