@@ -149,27 +149,31 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
             ]
             return pltpu.roll(blk, -off, 0)[0:SUB]
 
-        def gather_image_multi(probes):
-            """All probes' image values.  Per probe: a STATIC window of 2
-            padded rows x KC chunks anchored at the probe's (min row, min
-            chunk) — coherent probes (one node, narrow depth) are fully
-            served by it.  Lanes any probe leaves uncovered trigger ONE
-            0/1-trip dynamic cleanup sweep over the union range, so arbitrary
-            inputs stay exact, just slower.  Out-of-bounds probes are clamped
-            into the image and masked to 65535 afterwards (tree_eval
-            semantics: OOB reads "very far", decision_tree_common.hpp:8-28).
-            ``probes`` is a list of (yy, xx, active); returns one (SUB, LANE)
-            i32 per probe."""
+        def gather_probes_fast(probes):
+            """All probes' image values via STATIC windows only: 2 padded
+            rows x KC chunks anchored at each probe's (min row, min chunk) —
+            coherent probes (one node, narrow depth) are fully served.
+            Returns (values, over): ``over`` marks lanes some probe left
+            unserved; the CALLER must run an exact pass for them.  No
+            dynamic-trip loops here — they are Mosaic scheduling barriers
+            (measured 20x on the training kernel).  Out-of-bounds probes are
+            clamped into the image and masked to 65535 (tree_eval semantics:
+            OOB reads "very far", decision_tree_common.hpp:8-28).
+            ``probes`` is a list of (yy, xx, active)."""
             def prep(yy, xx, active):
                 oob = (yy < 0) | (yy >= h) | (xx < 0) | (xx >= w)
+                # fully-OOB lanes read the 65535 sentinel by masking and
+                # never need serving: excluding them keeps windows tight and
+                # stops image borders from forcing the exact path.
+                serve = active & ~oob
                 yc = jnp.clip(yy, 0, h - 1)
                 xc = jnp.clip(xx, 0, w - 1)
-                yc = jnp.where(active, yc, y_px)
-                xc = jnp.where(active, xc, x_px)
+                yc = jnp.where(serve, yc, y_px)
+                xc = jnp.where(serve, xc, x_px)
                 chunk = xc // LANE
                 lane_idx = xc - chunk * LANE
                 srow = yc + APRON_T - r * ii  # padded-row window start
-                return srow, chunk, lane_idx, oob, active
+                return srow, chunk, lane_idx, oob, serve
 
             preps = [prep(yy, xx, act) for (yy, xx, act) in probes]
 
@@ -180,9 +184,9 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
                 # tile's own rows and would drag the window off-target).
                 sb = jnp.min(jnp.where(active, srow, big))
                 cb = jnp.min(jnp.where(active, chunk, big))
+                cb = jnp.clip(cb, 0, n_chunks_img - KC)
                 if r == 2:
                     half = jnp.clip(sb // 2, 0, max_half)
-                    cb = jnp.clip(cb, 0, n_chunks_img - KC)
                     rows = []
                     for dc in range(KC):
                         rows.append((2 * half, window(even_ref, half, cb + dc)))
@@ -200,7 +204,7 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
                     lo_row = s0
                     hi_row = s0 + 1
                 for k, (s_val, op) in enumerate(rows):
-                    cix = cb + (k // 2 if r == 2 else k // 2)
+                    cix = cb + k // 2
                     sel = (srow == s_val) & (chunk == cix)
                     v = jnp.take_along_axis(op, lane_idx, axis=1)
                     accs[p] = jnp.where(sel, v, accs[p])
@@ -209,25 +213,43 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
                     | (chunk < cb) | (chunk > cb + (KC - 1))
                 )
 
-            # Rare exact-coverage fallback: full dynamic union sweep.
-            def cleanup(_, accs_in):
-                smin = preps[0][0]
-                smax = preps[0][0]
-                cmin = preps[0][1]
-                cmax = preps[0][1]
-                for srow, chunk, _, _, _ in preps[1:]:
-                    smin = jnp.minimum(smin, srow)
-                    smax = jnp.maximum(smax, srow)
-                    cmin = jnp.minimum(cmin, chunk)
-                    cmax = jnp.maximum(cmax, chunk)
-                s_lo = jnp.min(smin)
-                s_hi = jnp.max(smax)
-                c_lo = jnp.min(cmin)
-                c_hi = jnp.max(cmax)
+            vals = tuple(
+                jnp.where(p[3], MAX_UINT16, v) for v, p in zip(accs, preps)
+            )
+            return vals, over
+
+        def gather_probes_exact(probes, init_vals=None):
+            """Exact (unconditionally dynamic) gather: one (row, chunk) sweep
+            PER PROBE over that probe's own range — never the probes' union,
+            whose span is the distance between unrelated targets.  Only for
+            use inside a caller's single fallback gate."""
+            def prep(yy, xx, active):
+                oob = (yy < 0) | (yy >= h) | (xx < 0) | (xx >= w)
+                # fully-OOB lanes read the 65535 sentinel by masking and
+                # never need serving: excluding them keeps windows tight and
+                # stops image borders from forcing the exact path.
+                serve = active & ~oob
+                yc = jnp.clip(yy, 0, h - 1)
+                xc = jnp.clip(xx, 0, w - 1)
+                yc = jnp.where(serve, yc, y_px)
+                xc = jnp.where(serve, xc, x_px)
+                chunk = xc // LANE
+                lane_idx = xc - chunk * LANE
+                srow = yc + APRON_T - r * ii
+                return srow, chunk, lane_idx, oob, serve
+
+            preps = [prep(yy, xx, act) for (yy, xx, act) in probes]
+            out = []
+            for pidx, (srow, chunk, lane_idx, oob, active) in enumerate(preps):
+                s_lo = jnp.min(srow)
+                s_hi = jnp.max(jnp.where(active, srow, s_lo))
+                c_lo = jnp.min(chunk)
+                c_hi = jnp.max(jnp.where(active, chunk, c_lo))
                 nc = c_hi - c_lo + 1
                 total = (s_hi - s_lo + 1) * nc
 
-                def body(i, accs2):
+                def body(i, acc, srow=srow, chunk=chunk,
+                         lane_idx=lane_idx, s_lo=s_lo, c_lo=c_lo, nc=nc):
                     s = s_lo + i // nc
                     cix = c_lo + i % nc
                     if r == 1:
@@ -238,22 +260,29 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
                         op_e = window(even_ref, half2, cix)
                         op_o = window(odd_ref, half2, cix)
                         op = jnp.where(is_even, op_e, op_o)
-                    out = []
-                    for acc, (srow, chunk, lane_idx, _, _) in zip(
-                        accs2, preps
-                    ):
-                        sel = (srow == s) & (chunk == cix)
-                        v = jnp.take_along_axis(op, lane_idx, axis=1)
-                        out.append(jnp.where(sel, v, acc))
-                    return tuple(out)
+                    sel = (srow == s) & (chunk == cix)
+                    v = jnp.take_along_axis(op, lane_idx, axis=1)
+                    return jnp.where(sel, v, acc)
 
-                return jax.lax.fori_loop(0, total, body, tuple(accs_in))
+                acc0 = (
+                    jnp.zeros((SUB, LANE), jnp.int32)
+                    if init_vals is None
+                    else init_vals[pidx]
+                )
+                got = jax.lax.fori_loop(0, total, body, acc0)
+                out.append(jnp.where(oob, MAX_UINT16, got))
+            return tuple(out)
 
-            accs = jax.lax.fori_loop(
-                0, jnp.any(over).astype(jnp.int32), cleanup, tuple(accs)
-            )
-            return tuple(
-                jnp.where(p[3], MAX_UINT16, v) for v, p in zip(accs, preps)
+        def gather_image_multi(probes):
+            """Fast static-window gather with a single self-contained exact
+            fallback gate (see gather_probes_fast/exact)."""
+            vals, over = gather_probes_fast(probes)
+
+            def cleanup(_, vals_in):
+                return gather_probes_exact(probes)
+
+            return jax.lax.fori_loop(
+                0, jnp.any(over).astype(jnp.int32), cleanup, vals
             )
 
         def chunked_lookup(load_superchunk, g, active, dtype, num_nodes):
@@ -281,7 +310,8 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
             init = jnp.zeros((SUB, LANE), dtype)
             return jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
 
-    return y_px, x_px, gather_image_multi, chunked_lookup
+    return y_px, x_px, gather_image_multi, chunked_lookup, (
+        gather_probes_fast, gather_probes_exact)
 
 
 def _traverse_tile(tables, num_trees, depth_levels, num_classes, eligible,
@@ -453,7 +483,7 @@ def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
         tables = args[: depth_levels * NCOMP]
         out_ref = args[depth_levels * NCOMP]
 
-        y_px, x_px, gather_image_multi, chunked_lookup = _tile_context(
+        y_px, x_px, gather_image_multi, chunked_lookup, _ = _tile_context(
             even_ref, odd_ref, r, h, w, pl.program_id(1), pl.program_id(2)
         )
         d_center = dc_ref[0]
@@ -630,7 +660,7 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
         flat = idx_ref[pl.program_id(0)]
         ty = (flat // ntx) % nty
         tx = flat % ntx
-        y_px, x_px, gather_image_multi, chunked_lookup = _tile_context(
+        y_px, x_px, gather_image_multi, chunked_lookup, _ = _tile_context(
             even_ref, odd_ref, r, h, w, ty, tx
         )
         d_center = dc_ref[0]

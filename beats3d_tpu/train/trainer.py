@@ -170,6 +170,86 @@ def _histogram_step(
     return left.reshape(p, w2, c), total.reshape(w2, c)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_classes", "w2", "node_lo", "chunk", "use_matmul",
+                     "num_props"),
+)
+def _histogram_step_from_bits(
+    bits, labels, nodes, *, num_classes, w2, node_lo, chunk, use_matmul,
+    num_props,
+):
+    """:func:`_histogram_step` with the feature evaluation already done:
+    ``bits`` (B, ceil(P/32), H, W) int32 packed split bits from
+    ops.train_features_pallas.train_feature_bits (the TPU-kernel fast path —
+    XLA's scalarized probe gathers are ~36 ns/element, the kernel's windowed
+    lane shuffles ~1000x that)."""
+    bsz, p32, h, w = bits.shape
+    npx = bsz * h * w
+    p = num_props
+    c = num_classes
+    parent_lo = node_lo // 2
+
+    bits_flat = bits.transpose(1, 0, 2, 3).reshape(p32, npx)
+    labels_flat = labels.reshape(-1).astype(jnp.int32)
+    nodes_flat = nodes.reshape(-1)
+
+    pad = (-npx) % chunk
+    if pad:
+        bits_flat = jnp.pad(bits_flat, ((0, 0), (0, pad)))
+        labels_flat = jnp.pad(labels_flat, (0, pad))
+        nodes_flat = jnp.pad(nodes_flat, (0, pad), constant_values=-1)
+    n_chunks = (npx + pad) // chunk
+
+    word_idx = jnp.arange(p, dtype=jnp.int32) // 32
+    shifts = (jnp.arange(p, dtype=jnp.int32) % 32)[:, None]
+
+    def body(carry, i):
+        left_acc, total_acc = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        node = sl(nodes_flat)
+        m_local = node - parent_lo
+        active = (node >= 0) & (m_local >= 0) & (m_local < w2)
+        label = sl(labels_flat)
+        wsl = jax.lax.dynamic_slice_in_dim(bits_flat, i * chunk, chunk, axis=1)
+        is_left = (
+            (wsl[word_idx] >> shifts) & 1
+        ).astype(jnp.float32)  # (P, chunk)
+
+        col = jnp.clip(m_local, 0, w2 - 1) * c + label
+        if use_matmul:
+            onehot = (
+                (col[:, None] == jnp.arange(w2 * c, dtype=jnp.int32)[None, :])
+                & active[:, None]
+            ).astype(jnp.float32)
+            left = jnp.dot(is_left, onehot, preferred_element_type=jnp.float32)
+            total = jnp.sum(onehot, axis=0)
+        else:
+            seg = jnp.where(active, col, w2 * c)
+            total = jax.ops.segment_sum(
+                jnp.ones_like(seg, jnp.float32), seg, num_segments=w2 * c + 1
+            )[: w2 * c]
+            seg_p = seg[None, :] + jnp.arange(p, dtype=jnp.int32)[:, None] * (
+                w2 * c + 1
+            )
+            left = jax.ops.segment_sum(
+                is_left.reshape(-1),
+                seg_p.reshape(-1),
+                num_segments=p * (w2 * c + 1),
+            ).reshape(p, w2 * c + 1)[:, : w2 * c]
+        return (
+            left_acc + left.astype(jnp.int32),
+            total_acc + total.astype(jnp.int32),
+        ), None
+
+    init = (
+        jnp.zeros((p, w2 * c), jnp.int32),
+        jnp.zeros((w2 * c,), jnp.int32),
+    )
+    (left, total), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return left.reshape(p, w2, c), total.reshape(w2, c)
+
+
 def _gini_impurity(counts):
     """counts (..., C) float32 -> impurity, float math as tree_train.cu:72-80."""
     s = jnp.sum(counts, axis=-1, keepdims=True)
@@ -286,6 +366,7 @@ class DecisionTreeTrainer:
         pixel_chunk: int = 1 << 13,
         streaming: bool = False,
         mesh=None,
+        feature_backend: str = "auto",
     ):
         """``streaming=True`` bounds device memory: image/label/node blocks
         live on the HOST (optionally zlib-compressed via
@@ -303,6 +384,15 @@ class DecisionTreeTrainer:
         self.pixel_chunk = pixel_chunk
         self.streaming = streaming
         self.mesh = mesh
+        if feature_backend == "auto":
+            import jax as _jax
+
+            feature_backend = (
+                "pallas"
+                if mesh is None and _jax.devices()[0].platform == "tpu"
+                else "xla"
+            )
+        self.feature_backend = feature_backend
 
     def allocate(self, dataset, num_random_features: int, max_tree_depth: int):
         assert dataset.num_images % self.images_per_block == 0
@@ -401,6 +491,20 @@ class DecisionTreeTrainer:
                     props_np = make_random_features(self.proposals_per_block, rng)
                 props = jnp.asarray(props_np)
 
+                # Pallas feature path: split bits once per (proposal block,
+                # image block), reused across node blocks (resident mode).
+                bits_cache = {}
+
+                def feature_bits(ib, d_b, n_b):
+                    if ib in bits_cache:
+                        return bits_cache[ib]
+                    from ..ops.train_features_pallas import train_feature_bits
+
+                    bits = train_feature_bits(d_b, props, n_b >= 0)
+                    if resident and len(node_blocks) > 1:
+                        bits_cache[ib] = bits
+                    return bits
+
                 for (lo, hi) in node_blocks:
                     w2 = (hi - lo) // 2
                     use_matmul = w2 * c <= self.matmul_bins_limit
@@ -414,6 +518,14 @@ class DecisionTreeTrainer:
                                 num_classes=c, w2=w2, node_lo=lo,
                                 chunk=self.pixel_chunk,
                                 use_matmul=use_matmul,
+                            )
+                        elif self.feature_backend == "pallas":
+                            l_i, t_i = _histogram_step_from_bits(
+                                feature_bits(ib, d_b, n_b), l_b, n_b,
+                                num_classes=c, w2=w2, node_lo=lo,
+                                chunk=self.pixel_chunk,
+                                use_matmul=use_matmul,
+                                num_props=self.proposals_per_block,
                             )
                         else:
                             l_i, t_i = _histogram_step(

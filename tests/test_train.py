@@ -137,3 +137,60 @@ def test_mesh_training_matches_single(rng):
     a = run(None)
     b = run(make_mesh(n_data=4, n_model=2))
     np.testing.assert_array_equal(a, b)
+
+
+def test_train_feature_bits_matches_chunk_features(rng):
+    """Pallas (interpret) packed split bits == the XLA feature evaluator's
+    f < thresh, including OOB/zero-center rules."""
+    import jax.numpy as jnp
+    from beats3d_tpu.ops.train_features_pallas import train_feature_bits
+    from beats3d_tpu.train.trainer import _chunk_features
+
+    depth, _ = fixtures.synthetic_hand_dataset(rng, n=2, h=24, w=40)
+    depth[0, 3, 5] = 0      # zero-center pixel
+    depth[1, 0, 0] = 65535  # sentinel pixel
+    props = make_random_features(40, rng)
+    n, h, w = depth.shape
+
+    bits = np.asarray(train_feature_bits(
+        jnp.asarray(depth), jnp.asarray(props), interpret=True
+    ))
+    p = props.shape[0]
+    got = np.zeros((n, p, h, w), bool)
+    for pp in range(p):
+        got[:, pp] = (bits[:, pp // 32] >> (pp % 32)) & 1
+
+    lin = np.arange(n * h * w, dtype=np.int32)
+    f = np.asarray(_chunk_features(
+        jnp.asarray(depth.reshape(-1)),
+        jnp.asarray(lin // (h * w)),
+        jnp.asarray((lin % (h * w)) // w),
+        jnp.asarray(lin % w),
+        jnp.asarray(depth.reshape(-1)),
+        jnp.asarray(props), h, w,
+    ))
+    want = (f < props[:, 4][:, None]).reshape(p, n, h, w).transpose(1, 0, 2, 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_histogram_from_bits_matches_direct(rng):
+    import jax.numpy as jnp
+    from beats3d_tpu.ops.train_features_pallas import train_feature_bits
+    from beats3d_tpu.train.trainer import _histogram_step_from_bits
+
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=2, h=16, w=24)
+    nodes = np.where(labels > 0, 0, -1).astype(np.int32)
+    props = make_random_features(8, rng)
+    kw = dict(num_classes=4, w2=1, node_lo=0, chunk=256, use_matmul=True)
+    l1, t1 = _histogram_step(
+        jnp.asarray(depth), jnp.asarray(labels), jnp.asarray(nodes),
+        jnp.asarray(props), **kw
+    )
+    bits = train_feature_bits(
+        jnp.asarray(depth), jnp.asarray(props), interpret=True
+    )
+    l2, t2 = _histogram_step_from_bits(
+        bits, jnp.asarray(labels), jnp.asarray(nodes), num_props=8, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
