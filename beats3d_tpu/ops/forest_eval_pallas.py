@@ -56,63 +56,108 @@ NCOMP = 7  # per-level table entries: ux, uy, vx, vy, th, lr, pdf
 
 
 def pack_tables_pallas(forest_flat: np.ndarray):
-    """Pack a (T, 2**D - 1, 7 + 2C) forest into kernel-friendly tables.
+    """Pack a (T, 2**D - 1, 7 + 2C) forest into COMPACT kernel tables.
 
-    Per level j: (ux, uy, vx, vy, thresh) f32 and a packed child-status
-    bitmask lr (bit0: left child is internal, bit1: right child is internal
-    — the evaluator only ever tests l_next/r_next == -1, decision_tree
-    semantics tree_eval.cu:109-121), each shaped (T, SC, 8, 128) —
-    "superchunk" layout: node id g lives at [t, (g//128)//8, (g//128)%8,
-    g%128], so any 128-node chunk is one dynamic-leading-index load of an
-    aligned (8, 128) block plus a sublane roll (Mosaic requires 8-aligned
-    sublane offsets).  Levels with <= 128 nodes are PRE-BROADCAST: all 8
-    sublanes hold the same 128 values, so the kernel's lookup is a direct
-    (8, 128) load + lane shuffle with no roll/broadcast.  pdf adds a static
-    side*C+class leading dim: (T, 2C, SC, 8, 128).
-    Returns (levels_tuple, (T, D, C)).
+    Trained deep trees are overwhelmingly leaves, but the reference's packed
+    layout is a dense complete binary tree (2^D - 1 rows) — at D=16-20 that
+    cannot live in ~16 MB of VMEM.  Here each level holds only the nodes a
+    traversal can actually EVALUATE (reachable through a descend edge),
+    renumbered 0..n_j-1, with explicit child pointers replacing the implicit
+    2g+side rule: per level j the components are (ux, uy, vx, vy, thresh)
+    f32 and ch — compact left/right child ids packed as
+    (l+1) | ((r+1) << 16), 0 meaning "that side is a leaf" (the evaluator
+    only ever tests l_next/r_next == -1, tree_eval.cu:109-121; per-level
+    widths beyond 65534 are rejected).
+
+    Layout per component: (T, SC, 8, 128) "superchunk" — compact id q lives
+    at [t, (q//128)//8, (q//128)%8, q%128], so any 128-node chunk is one
+    dynamic-leading-index load of an aligned (8, 128) block plus a sublane
+    roll (Mosaic requires 8-aligned sublane offsets).  Levels with <= 128
+    nodes are PRE-BROADCAST: all 8 sublanes hold the same 128 values, so the
+    lookup is a direct load + lane shuffle.  pdf adds a side*C+class leading
+    dim: (T, 2C, SC, 8, 128), indexed by compact id.
+
+    Returns (levels_tuple, (T, D_eff, C, counts)) where counts[j] is the
+    max-over-trees evaluated-node count at level j.
     """
     t, total, els = forest_flat.shape
     d = int(np.log2(total + 1))
     c = (els - 7) // 2
-    levels = []
+
+    # BFS over descend edges, per tree: dense node ids per level + compact
+    # child pointers.
+    ids = [[[0]] for _ in range(t)]  # ids[tree][level] -> dense g list
+    childs = [[] for _ in range(t)]  # childs[tree][level] -> (cl, cr) list
+    for tree in range(t):
+        j = 0
+        while ids[tree][j]:
+            lo = (1 << j) - 1
+            nxt = []
+            ch = []
+            for g in ids[tree][j]:
+                node = forest_flat[tree, lo + g]
+                cl = cr = -1
+                if np.floor(node[5]) == -1:
+                    cl = len(nxt)
+                    nxt.append(2 * g)
+                if np.floor(node[6]) == -1:
+                    cr = len(nxt)
+                    nxt.append(2 * g + 1)
+                ch.append((cl, cr))
+            childs[tree].append(ch)
+            ids[tree].append(nxt)
+            j += 1
+            if j >= d:
+                break
+        while len(ids[tree]) < d + 1:
+            ids[tree].append([])
+            childs[tree].append([])
+
+    counts = []
     for j in range(d):
-        lo, hi = (1 << j) - 1, (1 << (j + 1)) - 1
-        nodes = forest_flat[:, lo:hi, :]
-        g = hi - lo
-        n_chunks = (g + LANE - 1) // LANE
+        n_j = max(len(ids[tree][j]) for tree in range(t))
+        if n_j == 0:
+            break
+        counts.append(n_j)
+    d_eff = len(counts)
+
+    levels = []
+    for j in range(d_eff):
+        n_j = counts[j]
+        assert n_j < 0xFFFF, (
+            f"level {j} has {n_j} evaluated nodes; compact child pointers "
+            "are 16-bit — split the forest"
+        )
+        n_chunks = (n_j + LANE - 1) // LANE
         sc = (n_chunks + SUB - 1) // SUB
         gpad = sc * SUB * LANE
-        bcast = g <= LANE
+        bcast = n_j <= LANE
 
-        def padded(x, dtype=np.float32):
-            out = np.zeros((t, gpad), dtype)
-            out[:, :g] = x
-            out = out.reshape(t, sc, SUB, LANE)
-            if bcast:
-                out = np.broadcast_to(out[:, :, 0:1, :], out.shape).copy()
-            return out
-
-        ux = padded(nodes[:, :, 0])
-        uy = padded(nodes[:, :, 1])
-        vx = padded(nodes[:, :, 2])
-        vy = padded(nodes[:, :, 3])
-        th = padded(nodes[:, :, 4])
-        lr = padded(
-            (np.floor(nodes[:, :, 5]) == -1).astype(np.int32)
-            + 2 * (np.floor(nodes[:, :, 6]) == -1).astype(np.int32),
-            np.int32,
-        )
+        comp = np.zeros((t, gpad, 5), np.float32)
+        chp = np.zeros((t, gpad), np.int32)
         pdf = np.zeros((t, 2 * c, gpad), np.float32)
-        for s in range(2):
-            for k in range(c):
-                pdf[:, s * c + k, :g] = nodes[:, :, 7 + s * c + k]
-        pdf = pdf.reshape(t, 2 * c, sc, SUB, LANE)
-        if bcast:
-            pdf = np.broadcast_to(pdf[:, :, :, 0:1, :], pdf.shape).copy()
+        lo = (1 << j) - 1
+        for tree in range(t):
+            for q, g in enumerate(ids[tree][j]):
+                node = forest_flat[tree, lo + g]
+                comp[tree, q] = node[0:5]
+                cl, cr = childs[tree][j][q]
+                chp[tree, q] = (cl + 1) | ((cr + 1) << 16)
+                pdf[tree, :, q] = node[7 : 7 + 2 * c]
+
+        def shaped(x):
+            x = x.reshape(x.shape[:-1] + (sc, SUB, LANE))
+            if bcast:
+                reps = [1] * x.ndim
+                reps[-2] = SUB
+                x = np.tile(x[..., 0:1, :], reps)
+            return jnp.asarray(x)
+
         levels.append(
-            tuple(jnp.asarray(a) for a in (ux, uy, vx, vy, th, lr, pdf))
+            tuple(shaped(comp[:, :, k]) for k in range(5))
+            + (shaped(chp), shaped(pdf.transpose(0, 1, 2)))
         )
-    return tuple(levels), (t, d, c)
+    return tuple(levels), (t, d_eff, c, tuple(counts))
 
 
 def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
@@ -314,8 +359,8 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
         gather_probes_fast, gather_probes_exact)
 
 
-def _traverse_tile(tables, num_trees, depth_levels, num_classes, eligible,
-                   safe_df, zero_center, scale, y_px, x_px,
+def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
+                   eligible, safe_df, zero_center, scale, y_px, x_px,
                    gather_image_multi, chunked_lookup):
     """Level-synchronous traversal of one (8, 128) tile through one forest;
     returns (argmax class, all-trees-done mask).
@@ -334,17 +379,17 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, eligible,
     dones = [not_elig for _ in range(T)]
 
     for j in range(depth_levels):
-        ux_r, uy_r, vx_r, vy_r, th_r, lr_r, pdf_r = tables[
+        ux_r, uy_r, vx_r, vy_r, th_r, ch_r, pdf_r = tables[
             j * NCOMP : (j + 1) * NCOMP
         ]
-        n_nodes = 1 << j
+        n_nodes = counts[j]
 
         def level_fn(state):
             gs = list(state[:T])
             dones = list(state[T : 2 * T])
             pdfs = list(state[2 * T :])
 
-            actives, ths, lrs, probes = [], [], [], []
+            actives, ths, chs, probes = [], [], [], []
             for t in range(T):
                 active = dones[t] == 0
                 g = gs[t]
@@ -358,7 +403,7 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, eligible,
                 ux, uy = comp(ux_r), comp(uy_r)
                 vx, vy = comp(vx_r), comp(vy_r)
                 ths.append(comp(th_r))
-                lrs.append(comp(lr_r))
+                chs.append(comp(ch_r))
 
                 dux = jnp.floor(scale * ux / safe_df).astype(jnp.int32)
                 duy = jnp.floor(scale * uy / safe_df).astype(jnp.int32)
@@ -380,9 +425,11 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, eligible,
                 f = jnp.where(zero_center, 0.0, f)
                 left = f < ths[t]
                 side = jnp.where(left, 0, 1)
-                descend = ((lrs[t] >> side) & 1) == 1
+                # compact child pointer for the chosen side; 0 = leaf
+                child = (chs[t] >> (side * 16)) & 0xFFFF
+                descend = child != 0
                 hit = actives[t] & (~descend)
-                gs[t] = jnp.where(actives[t] & descend, 2 * gs[t] + side, gs[t])
+                gs[t] = jnp.where(actives[t] & descend, child - 1, gs[t])
                 dones[t] = jnp.where(hit, 1, dones[t])
                 lefts.append(left)
                 hits.append(hit)
@@ -475,7 +522,7 @@ def _prep_planes(di, r, hl_pad, wl_pad):
     return depth_even, depth_odd, d_center
 
 
-def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
+def _make_kernel(num_trees, depth_levels, num_classes, counts, r, h, w,
                  write_all_eligible):
     """Single-forest kernel body with static config baked in."""
 
@@ -499,7 +546,7 @@ def _make_kernel(num_trees, depth_levels, num_classes, r, h, w,
         zero_center = df == 0.0
 
         best_c, all_done = _traverse_tile(
-            tables, num_trees, depth_levels, num_classes, eligible,
+            tables, num_trees, depth_levels, num_classes, counts, eligible,
             safe_df, zero_center, scale, y_px, x_px,
             gather_image_multi, chunked_lookup,
         )
@@ -522,11 +569,13 @@ def _run_pallas(
     depth_even, depth_odd, d_center, filt, scale, filter_class, tables_flat,
     *, dims, labels_reduce, write_all_eligible, interpret,
 ):
-    (n, h, w, hl_pad, wl_pad, num_trees, depth_levels, num_classes) = dims
+    (n, h, w, hl_pad, wl_pad, num_trees, depth_levels, num_classes,
+     counts) = dims
     r = labels_reduce
 
     kernel = _make_kernel(
-        num_trees, depth_levels, num_classes, r, h, w, write_all_eligible
+        num_trees, depth_levels, num_classes, counts, r, h, w,
+        write_all_eligible
     )
 
     grid = (n, hl_pad // SUB, wl_pad // LANE)
@@ -592,7 +641,7 @@ def evaluate_forest_pallas(
     depth: (N, H, W) uint16; packed_tables/meta from :func:`pack_tables_pallas`.
     Returns (N, H//r, W//r) uint16 labels (65535 where not evaluated).
     """
-    num_trees, depth_levels, num_classes = meta
+    num_trees, depth_levels, num_classes, counts = meta
     n, h, w = depth.shape
     r = labels_reduce
     hl, wl = h // r, w // r
@@ -615,7 +664,9 @@ def evaluate_forest_pallas(
     for lvl in packed_tables:
         tables_flat.extend(lvl)
 
-    dims = (n, h, w, hl_pad, wl_pad, num_trees, depth_levels, num_classes)
+    dims = (
+        n, h, w, hl_pad, wl_pad, num_trees, depth_levels, num_classes, counts
+    )
     out = _run_pallas(
         depth_even,
         depth_odd,
@@ -650,7 +701,7 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
     def kernel(idx_ref, scale_ref, even_ref, odd_ref, dc_ref, *args):
         pos = 0
         layer_tables = []
-        for (t, d, c) in metas:
+        for (t, d, c, _counts) in metas:
             layer_tables.append(args[pos : pos + d * NCOMP])
             pos += d * NCOMP
         cond_flag_ref = args[pos]
@@ -672,12 +723,14 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
         zero_center = df == 0.0
 
         labels = []
-        for i, ((t, d, c), (fm, fc)) in enumerate(zip(metas, filter_specs)):
+        for i, ((t, d, c, counts), (fm, fc)) in enumerate(
+            zip(metas, filter_specs)
+        ):
             eligible = base_eligible
             if fm is not None:
                 eligible = eligible & (labels[fm] == fc)
             best_c, _ = _traverse_tile(
-                layer_tables[i], t, d, c, eligible,
+                layer_tables[i], t, d, c, counts, eligible,
                 safe_df, zero_center, scale, y_px, x_px,
                 gather_image_multi, chunked_lookup,
             )

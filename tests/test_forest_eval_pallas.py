@@ -98,3 +98,43 @@ def test_layered_backends_agree(tmp_path, rng):
     finally:
         layered_mod.forest_eval_pallas.evaluate_layered_pallas = orig
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_deep_sparse_forest_parity(rng):
+    """Compact per-level tables at reference-realistic depth (D=14): the
+    Pallas traversal must match the dense XLA evaluator bit-for-bit.  Dense
+    tables at this depth would not fit VMEM; the compact pack keeps only
+    evaluated nodes with explicit child pointers."""
+    import jax.numpy as jnp
+    from beats3d_tpu.models.forest import PackedForest
+    from beats3d_tpu.ops import forest_eval
+    from beats3d_tpu.ops import forest_eval_pallas as fep
+
+    d, c, t = 14, 5, 2
+    total = (1 << d) - 1
+    flat = np.zeros((t, total, 7 + 2 * c), np.float32)
+    flat[:, :, 0:4] = rng.uniform(-20000, 20000, (t, total, 4))
+    flat[:, :, 4] = rng.uniform(-300, 300, (t, total))
+    # sparse: leaf probability grows with depth — full at the top, narrow
+    # and deep below (the shape of a trained tree)
+    lvl = np.floor(np.log2(np.arange(1, total + 1)))[None, :, None]
+    p_leaf = np.where(lvl < 4, 0.0, 0.5)
+    leaf = rng.random((t, total, 2)) < p_leaf
+    flat[:, :, 5:7] = np.where(leaf, 0.0, -1.0)
+    flat[:, (1 << (d - 1)) - 1 :, 5:7] = 0.0
+    flat[:, :, 7:] = rng.random((t, total, 2 * c))
+
+    depth = rng.integers(500, 3000, (1, 32, 48)).astype(np.uint16)
+    depth[0, 3, 4] = 0
+    depth[0, 10, 11] = 65535
+
+    tables, meta = fep.pack_tables_pallas(flat)
+    assert meta[1] > 8, "tree too shallow for the deep test"
+    got = np.asarray(fep.evaluate_forest_pallas(
+        jnp.asarray(depth), tables, meta, interpret=True
+    ))
+    packed = PackedForest.from_flat(flat)
+    want = np.asarray(
+        forest_eval.evaluate_forest(jnp.asarray(depth), packed.tables())
+    )
+    np.testing.assert_array_equal(got, want)
