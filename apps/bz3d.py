@@ -32,6 +32,10 @@ def main():
     parser.add_argument("--no_debug", action="store_true")
     parser.add_argument("--dump_labels", type=str, default=None,
                         help="directory for periodic label RGBA dumps")
+    parser.add_argument("--viewer", action="store_true",
+                        help="serve the live dashboard (labels, per-finger "
+                             "height graphs, ms/frame, tunable sliders)")
+    parser.add_argument("--viewer_port", type=int, default=8799)
     camera.add_args(parser)
     args = parser.parse_args()
 
@@ -44,11 +48,20 @@ def main():
     model = LayeredDecisionForest.load(args.cfg, labels_reduce=cfg.labels_reduce)
     app = BeatsApp(model, source, midi=Midi(), cfg=cfg)
 
+    viewer = None
+    if args.viewer:
+        from beats3d_tpu.runtime.viewer import ViewerServer
+
+        viewer = ViewerServer(app, port=args.viewer_port).start()
+        print(f"viewer: http://127.0.0.1:{viewer.port}/")
+
     n = 0
     try:
         for frame in source.frames():
             out = app.tick(frame)
             n += 1
+            if viewer is not None:
+                viewer.push(out)
             if out is not None and not args.no_debug and n % 30 == 0:
                 times = app.timer.spans()
                 notes = [
@@ -74,6 +87,8 @@ def main():
                 break
     finally:
         source.stop()
+        if viewer is not None:
+            viewer.stop()
     print(f"processed {n} frames; {len(app.midi.sink.events)} midi events")
 
 

@@ -90,6 +90,12 @@ class LayeredDecisionForest:
             conditions_np=conditions,
         )
 
+    def pallas_supported(self) -> bool:
+        """The fused kernel walks the conditions table with a single
+        128-lane shuffle; wider tables (reference models use ~8 rows) fall
+        back to the XLA composite instead of crashing."""
+        return np.asarray(self.conditions_np).shape[0] <= 128
+
     def layer_tables(self) -> Tuple:
         """Pytree of all layers' XLA tables (for passing through jit)."""
         return tuple(l.forest.tables() for l in self.layers)
@@ -124,6 +130,8 @@ class LayeredDecisionForest:
             backend: str = "xla") -> jnp.ndarray:
         """Evaluate all layers on (N, H, W) uint16 depth; returns composite
         (N, H//r, W//r) uint16 labels (65535 = unlabeled)."""
+        if backend == "pallas" and not self.pallas_supported():
+            backend = "xla"  # conditions table too wide for the fused kernel
         tables = (
             self.layer_tables_pallas() if backend == "pallas"
             else self.layer_tables()

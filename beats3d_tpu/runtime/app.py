@@ -131,6 +131,11 @@ class BeatsApp:
             self.calibrated_plane.make(pts, start_mat=start)
             self.calibrate_next_frame = False
 
+        # live tunables that feed the device program (viewer sliders)
+        if self.cfg.group_min_size != self.pipeline.group_min_size:
+            self.pipeline.group_min_size = self.cfg.group_min_size
+            self.pipeline._gms = jnp.float32(self.cfg.group_min_size)
+
         self.timer.record("frame_step")
         out = self.pipeline(depth, self.calibrated_plane.get_mat())
 

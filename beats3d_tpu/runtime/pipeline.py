@@ -460,6 +460,8 @@ class FramePipeline:
         self.group_min_size = group_min_size
         if backend == "auto":
             backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        if backend == "pallas" and not model.pallas_supported():
+            backend = "xla"  # >128-row conditions: use the XLA composite
         self.backend = backend
         if backend == "pallas":
             self._tables = model.layer_tables_pallas()

@@ -138,3 +138,26 @@ def test_pallas_deep_sparse_forest_parity(rng):
         forest_eval.evaluate_forest(jnp.asarray(depth), packed.tables())
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_wide_conditions_falls_back_to_xla(tmp_path, rng):
+    """A legal model with >128 conditions rows must run (XLA composite), not
+    crash the fused kernel's 128-lane conditions walk."""
+    import json
+    import jax.numpy as jnp
+    import fixtures
+    from beats3d_tpu.models import LayeredDecisionForest
+
+    cfg_path = fixtures.layered_cfg_fixture(str(tmp_path), rng)
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    pad_rows = 140 - len(cfg["conditions"])
+    cfg["conditions"] = cfg["conditions"] + [[0, 1]] * pad_rows
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    model = LayeredDecisionForest.load(cfg_path, labels_reduce=2)
+    assert not model.pallas_supported()
+    depth = rng.integers(500, 3000, (1, 16, 32)).astype(np.uint16)
+    out = model.run(jnp.asarray(depth), backend="pallas")  # silently XLA
+    assert out.shape == (1, 8, 16)
