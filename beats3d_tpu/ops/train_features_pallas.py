@@ -47,9 +47,10 @@ def _make_kernel(p_total, h, w, nty, ntx, exact):
     def body_common(flat, props_ref, depth_ref, dc_ref, act_ref):
         ty = (flat // ntx) % nty
         tx = flat % ntx
-        y_px, x_px, _, _, (gather_fast, gather_exact) = _tile_context(
+        y_px, x_px, _, _, prims = _tile_context(
             depth_ref, depth_ref, 1, h, w, ty, tx
         )
+        gather_fast, gather_exact = prims[0], prims[1]
         d_center = dc_ref[0]
         df = d_center.astype(jnp.float32)
         safe = jnp.where(df == 0.0, 1.0, df)
