@@ -31,6 +31,7 @@ suite checks both against the scalar oracle.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -50,6 +51,20 @@ APRON_T = 16
 APRON_B = 16
 LANE = 128
 SUB = 8
+
+# Batch the probe-window base mins through the VMEM scratch (see
+# _tile_context.scalar_mins).  Off by default: cheap in isolation but the
+# scalar round-trip in front of every window load measured 2-4x slower in the
+# full eval kernel.  Flip for experiments.
+BATCH_PROBE_MINS = False
+
+# Profiling-only knob (scripts/profile_attrib.py): comma list of kernel
+# stages to neuter — results become WRONG, timing attribution only.
+# "img" = constant image probes, "lut0" = zero node ids (no chunk spread),
+# "pdf" = skip leaf-pdf accumulation, "nogate" = drop per-level 0/1 gates.
+_NEUTER = tuple(
+    s for s in os.environ.get("B3D_EVAL_NEUTER", "").split(",") if s
+)
 
 
 NCOMP = 7  # per-level table entries: ux, uy, vx, vy, th, lr, pdf
@@ -132,10 +147,24 @@ def pack_tables_pallas(forest_flat: np.ndarray):
         sc = (n_chunks + SUB - 1) // SUB
         gpad = sc * SUB * LANE
         bcast = n_j <= LANE
+        # pdf layout is a static per-level choice (mirrored in _traverse_tile
+        # pdf_fn): 2q+side INTERLEAVED when that still fits one broadcast
+        # chunk (<=64 nodes: ONE direct lookup per class) or when the level
+        # is chunked anyway (halves the lookups at the same sweep span);
+        # side-SPLIT for 65..128 nodes where interleaving would turn two
+        # direct lookups into a chunk sweep.
+        n2 = 2 * n_j
+        interleave = n2 <= LANE or n_j > LANE
+        sc2 = ((n2 + LANE - 1) // LANE + SUB - 1) // SUB
+        gpad2 = sc2 * SUB * LANE
+        bcast2 = n2 <= LANE
 
         comp = np.zeros((t, gpad, 5), np.float32)
         chp = np.zeros((t, gpad), np.int32)
-        pdf = np.zeros((t, 2 * c, gpad), np.float32)
+        if interleave:
+            pdf = np.zeros((t, c, gpad2), np.float32)
+        else:
+            pdf = np.zeros((t, 2 * c, gpad), np.float32)
         lo = (1 << j) - 1
         for tree in range(t):
             for q, g in enumerate(ids[tree][j]):
@@ -143,27 +172,42 @@ def pack_tables_pallas(forest_flat: np.ndarray):
                 comp[tree, q] = node[0:5]
                 cl, cr = childs[tree][j][q]
                 chp[tree, q] = (cl + 1) | ((cr + 1) << 16)
-                pdf[tree, :, q] = node[7 : 7 + 2 * c]
+                if interleave:
+                    pdf[tree, :, 2 * q] = node[7 : 7 + c]
+                    pdf[tree, :, 2 * q + 1] = node[7 + c : 7 + 2 * c]
+                else:
+                    pdf[tree, :, q] = node[7 : 7 + 2 * c]
 
-        def shaped(x):
-            x = x.reshape(x.shape[:-1] + (sc, SUB, LANE))
-            if bcast:
+        def shaped(x, scn=sc, bc=bcast):
+            x = x.reshape(x.shape[:-1] + (scn, SUB, LANE))
+            if bc:
                 reps = [1] * x.ndim
                 reps[-2] = SUB
                 x = np.tile(x[..., 0:1, :], reps)
             return jnp.asarray(x)
 
+        pdf_shaped = (
+            shaped(pdf, scn=sc2, bc=bcast2) if interleave else shaped(pdf)
+        )
         levels.append(
             tuple(shaped(comp[:, :, k]) for k in range(5))
-            + (shaped(chp), shaped(pdf.transpose(0, 1, 2)))
+            + (shaped(chp), pdf_shaped)
         )
     return tuple(levels), (t, d_eff, c, tuple(counts))
 
 
-def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
+def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
     """Per-tile coordinate grids + the two gather primitives, shared by the
     single-forest and fused-layered kernels.  ``ty``/``tx`` are the tile's
-    row/column indices in the padded label grid (scalars)."""
+    row/column indices in the padded label grid (scalars).
+
+    ``scratch_ref`` is an optional (SUB, >=64) i32 VMEM scratch enabling the
+    BATCHED scalar-min path: full cross-lane reduces cost ~200 ns each of
+    pure serial latency on TPU, so the per-level window/chunk bounds (up to
+    ~6 per tree per level) are instead computed as cheap per-array axis-0
+    mins, stacked 8 rows at a time, reduced across lanes ONCE, round-tripped
+    through the scratch, and read back as scalars — measured 7.5x cheaper
+    (scripts/try_batchmin.py)."""
     y0 = ty * SUB
     x0 = tx * LANE
 
@@ -180,6 +224,36 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
         KC = min(2, n_chunks_img)
         max_half = (h + APRON_T - 1) // r
         big = jnp.int32(1 << 29)
+
+        def scalar_mins(rows):
+            """Scalars ``[min(row) for row in rows]`` for (1, LANE) i32 rows
+            (already axis-0-reduced and masked).  With a scratch: one
+            cross-lane reduce per 8 rows instead of one per row."""
+            if scratch_ref is None or not BATCH_PROBE_MINS:
+                return [jnp.min(row) for row in rows]
+            out = [None] * len(rows)
+            col = 0
+            for i in range(0, len(rows), SUB):
+                grp = list(rows[i : i + SUB])
+                k = len(grp)
+                while len(grp) < SUB:
+                    grp.append(grp[0])
+                m8 = jnp.concatenate(grp, axis=0)  # (SUB, LANE)
+                scratch_ref[0:SUB, col : col + 1] = jnp.min(
+                    m8, axis=1, keepdims=True
+                )
+                for j in range(k):
+                    out[i + j] = scratch_ref[j, col]
+                col += 1
+            return out
+
+        def row_min(arr, mask, neutral=None):
+            """(1, LANE) per-lane min of ``arr`` over sublanes where ``mask``
+            (cheap vector op; feeds scalar_mins)."""
+            return jnp.min(
+                jnp.where(mask, arr, big if neutral is None else neutral),
+                axis=0, keepdims=True,
+            )
 
         def window(plane_ref, p, cix):
             """(SUB, LANE) rows [p, p+8) of a plane: Mosaic requires
@@ -222,14 +296,29 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
 
             preps = [prep(yy, xx, act) for (yy, xx, act) in probes]
 
+            # Base from ACTIVE lanes only (inactive lanes sit at the tile's
+            # own rows and would drag the window off-target).  All probes'
+            # (row, chunk) bases in one batched reduce when enabled —
+            # measured SLOWER than per-probe reduces here (the scratch
+            # round-trip feeding the dynamic window starts stalls Mosaic's
+            # load pipeline), so the per-probe path is the default.
+            if BATCH_PROBE_MINS and scratch_ref is not None:
+                base_rows = []
+                for (srow, chunk, lane_idx, oob, active) in preps:
+                    base_rows.append(row_min(srow, active))
+                    base_rows.append(row_min(chunk, active))
+                bases = scalar_mins(base_rows)
+            else:
+                bases = []
+                for (srow, chunk, lane_idx, oob, active) in preps:
+                    bases.append(jnp.min(jnp.where(active, srow, big)))
+                    bases.append(jnp.min(jnp.where(active, chunk, big)))
+
             accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
             over = jnp.zeros((SUB, LANE), jnp.bool_)
             for p, (srow, chunk, lane_idx, oob, active) in enumerate(preps):
-                # Base from ACTIVE lanes only (inactive lanes sit at the
-                # tile's own rows and would drag the window off-target).
-                sb = jnp.min(jnp.where(active, srow, big))
-                cb = jnp.min(jnp.where(active, chunk, big))
-                cb = jnp.clip(cb, 0, n_chunks_img - KC)
+                sb = bases[2 * p]
+                cb = jnp.clip(bases[2 * p + 1], 0, n_chunks_img - KC)
                 if r == 2:
                     half = jnp.clip(sb // 2, 0, max_half)
                     rows = []
@@ -284,12 +373,27 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
                 return srow, chunk, lane_idx, oob, serve
 
             preps = [prep(yy, xx, act) for (yy, xx, act) in probes]
+            if BATCH_PROBE_MINS and scratch_ref is not None:
+                bound_rows = []
+                for (srow, chunk, lane_idx, oob, active) in preps:
+                    bound_rows.append(jnp.min(srow, axis=0, keepdims=True))
+                    bound_rows.append(row_min(-srow, active))
+                    bound_rows.append(jnp.min(chunk, axis=0, keepdims=True))
+                    bound_rows.append(row_min(-chunk, active))
+                bnds = scalar_mins(bound_rows)
+            else:
+                bnds = []
+                for (srow, chunk, lane_idx, oob, active) in preps:
+                    bnds.append(jnp.min(srow))
+                    bnds.append(jnp.min(jnp.where(active, -srow, big)))
+                    bnds.append(jnp.min(chunk))
+                    bnds.append(jnp.min(jnp.where(active, -chunk, big)))
             out = []
             for pidx, (srow, chunk, lane_idx, oob, active) in enumerate(preps):
-                s_lo = jnp.min(srow)
-                s_hi = jnp.max(jnp.where(active, srow, s_lo))
-                c_lo = jnp.min(chunk)
-                c_hi = jnp.max(jnp.where(active, chunk, c_lo))
+                s_lo = bnds[4 * pidx]
+                s_hi = jnp.maximum(-bnds[4 * pidx + 1], s_lo)
+                c_lo = bnds[4 * pidx + 2]
+                c_hi = jnp.maximum(-bnds[4 * pidx + 3], c_lo)
                 nc = c_hi - c_lo + 1
                 total = (s_hi - s_lo + 1) * nc
 
@@ -330,20 +434,39 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
                 0, jnp.any(over).astype(jnp.int32), cleanup, vals
             )
 
-        def chunked_lookup(load_superchunk, g, active, dtype, num_nodes):
+        def chunk_bound_rows(g, active):
+            """The two (1, LANE) rows whose scalar_mins yield this lookup's
+            (c_lo, -c_hi) — callers hoist them so all of a level's lookups
+            share ONE batched reduce (see _traverse_tile)."""
+            chunk = jnp.where(active, g, 0) // LANE
+            return [row_min(chunk, active), row_min(-chunk, active, 0)]
+
+        def chunk_bounds(pair):
+            """(c_lo, c_hi) from the two scalars of chunk_bound_rows; with no
+            active lanes c_lo=big collapses onto c_hi=0 (one harmless trip)."""
+            c_hi = -pair[1]
+            return jnp.minimum(pair[0], c_hi), c_hi
+
+        def chunked_lookup(load_superchunk, g, active, dtype, num_nodes,
+                           bounds=None):
             """Per-lane table[g].  ``load_superchunk(sc)`` returns the
             (SUB, LANE) block holding chunks [sc*8, sc*8+8); chunk cix lives
             at sublane cix % 8, so one roll exposes it at row 0.
             ``num_nodes`` is static: levels with <= 128 nodes are stored
-            pre-broadcast (all sublanes equal) — one load + one shuffle."""
+            pre-broadcast (all sublanes equal) — one load + one shuffle.
+            ``bounds`` optionally supplies precomputed (c_lo, c_hi)."""
             gc = jnp.where(active, g, 0)
             if num_nodes <= LANE:
                 return jnp.take_along_axis(load_superchunk(0), gc, axis=1)
 
             chunk = gc // LANE
             lane_idx = gc - chunk * LANE
-            c_lo = jnp.min(chunk)
-            c_hi = jnp.max(chunk)
+            if bounds is not None:
+                c_lo, c_hi = bounds
+            else:
+                c_lo, c_hi = chunk_bounds(
+                    scalar_mins(chunk_bound_rows(g, active))
+                )
 
             def body(cix, acc):
                 blk = load_superchunk(cix // SUB)
@@ -356,12 +479,13 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx):
             return jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
 
     return y_px, x_px, gather_image_multi, chunked_lookup, (
-        gather_probes_fast, gather_probes_exact)
+        gather_probes_fast, gather_probes_exact,
+        scalar_mins, chunk_bound_rows, chunk_bounds)
 
 
 def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
                    eligible, safe_df, zero_center, scale, y_px, x_px,
-                   gather_image_multi, chunked_lookup):
+                   gather_image_multi, chunked_lookup, bound_helpers=None):
     """Level-synchronous traversal of one (8, 128) tile through one forest;
     returns (argmax class, all-trees-done mask).
 
@@ -373,6 +497,9 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
     pdf_sum = [
         jnp.zeros((SUB, LANE), jnp.float32) for _ in range(num_classes)
     ]
+    scalar_mins, chunk_bound_rows, chunk_bounds = (
+        bound_helpers if bound_helpers is not None else (None, None, None)
+    )
     T = num_trees
     not_elig = (~eligible).astype(jnp.int32)
     gs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in range(T)]
@@ -389,15 +516,31 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
             dones = list(state[T : 2 * T])
             pdfs = list(state[2 * T :])
 
+            # One batched reduce yields every tree's node-chunk bounds for
+            # this level; all 6 component lookups per tree (and the pdf
+            # lookups below) share them instead of re-reducing per lookup.
+            tree_bounds = [None] * T
+            if n_nodes > LANE and scalar_mins is not None:
+                rows = []
+                for t in range(T):
+                    rows.extend(chunk_bound_rows(gs[t], dones[t] == 0))
+                flat = scalar_mins(rows)
+                tree_bounds = [
+                    chunk_bounds(flat[2 * t : 2 * t + 2]) for t in range(T)
+                ]
+
             actives, ths, chs, probes = [], [], [], []
             for t in range(T):
                 active = dones[t] == 0
-                g = gs[t]
+                g = gs[t] if "lut0" not in _NEUTER else jnp.zeros(
+                    (SUB, LANE), jnp.int32
+                )
 
                 def comp(ref, _t=t, _g=g, _a=active):
                     return chunked_lookup(
                         lambda sc, _r=ref: _r[_t, sc],
                         _g, _a, ref.dtype, n_nodes,
+                        bounds=tree_bounds[_t],
                     )
 
                 ux, uy = comp(ux_r), comp(uy_r)
@@ -413,9 +556,12 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
                 probes.append((y_px + dvy, x_px + dvx, active))
                 actives.append(active)
 
-            vals = gather_image_multi(probes)
+            if "img" in _NEUTER:
+                vals = tuple(y_px + x_px for _ in range(2 * T))
+            else:
+                vals = gather_image_multi(probes)
 
-            lefts, hits = [], []
+            pdf_idxs, hits = [], []
             hit_any = jnp.zeros((SUB, LANE), jnp.bool_)
             old_gs = list(gs)
             for t in range(T):
@@ -431,36 +577,72 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
                 hit = actives[t] & (~descend)
                 gs[t] = jnp.where(actives[t] & descend, child - 1, gs[t])
                 dones[t] = jnp.where(hit, 1, dones[t])
-                lefts.append(left)
+                pdf_idxs.append(2 * old_gs[t] + side)
                 hits.append(hit)
                 hit_any |= hit
 
+            # static per-level pdf layout, mirroring pack_tables_pallas
+            pdf_interleaved = 2 * n_nodes <= LANE or n_nodes > LANE
+
             def pdf_fn(pdfs_in):
+                # interleaved: table[2q+side] — ONE lookup per (tree, class),
+                # chunk bounds hoisted across classes.
+                hit_bounds = [None] * T
+                if (pdf_interleaved and 2 * n_nodes > LANE
+                        and scalar_mins is not None):
+                    rows = []
+                    for t in range(T):
+                        rows.extend(chunk_bound_rows(pdf_idxs[t], hits[t]))
+                    flat = scalar_mins(rows)
+                    hit_bounds = [
+                        chunk_bounds(flat[2 * t : 2 * t + 2])
+                        for t in range(T)
+                    ]
                 out = list(pdfs_in)
                 for t in range(T):
                     for k in range(num_classes):
-                        val_l = chunked_lookup(
-                            lambda sc, _r=pdf_r, _t=t, _k=k: _r[_t, _k, sc],
-                            old_gs[t], hits[t], jnp.float32, n_nodes,
-                        )
-                        val_r = chunked_lookup(
-                            lambda sc, _r=pdf_r, _t=t, _k=k: _r[
-                                _t, num_classes + _k, sc
-                            ],
-                            old_gs[t], hits[t], jnp.float32, n_nodes,
-                        )
-                        val = jnp.where(lefts[t], val_l, val_r)
+                        if pdf_interleaved:
+                            val = chunked_lookup(
+                                lambda sc, _r=pdf_r, _t=t, _k=k: _r[
+                                    _t, _k, sc
+                                ],
+                                pdf_idxs[t], hits[t], jnp.float32,
+                                2 * n_nodes, bounds=hit_bounds[t],
+                            )
+                        else:
+                            # side-split layout (65..128 nodes): two direct
+                            # broadcast lookups + select
+                            val_l = chunked_lookup(
+                                lambda sc, _r=pdf_r, _t=t, _k=k: _r[
+                                    _t, _k, sc
+                                ],
+                                old_gs[t], hits[t], jnp.float32, n_nodes,
+                            )
+                            val_r = chunked_lookup(
+                                lambda sc, _r=pdf_r, _t=t, _k=k: _r[
+                                    _t, num_classes + _k, sc
+                                ],
+                                old_gs[t], hits[t], jnp.float32, n_nodes,
+                            )
+                            val = jnp.where(
+                                pdf_idxs[t] % 2 == 0, val_l, val_r
+                            )
                         out[k] = out[k] + jnp.where(hits[t], val, 0.0)
                 return tuple(out)
 
             # 0/1-trip loop instead of cond: Mosaic can't legalize scf.if
             # with vector results, but dynamic-bound scf loops are fine.
-            pdfs = jax.lax.fori_loop(
-                0,
-                jnp.any(hit_any).astype(jnp.int32),
-                lambda _, p: pdf_fn(p),
-                tuple(pdfs),
-            )
+            if "pdf" in _NEUTER:
+                pdfs = tuple(pdfs)
+            elif "nogate" in _NEUTER:
+                pdfs = pdf_fn(tuple(pdfs))
+            else:
+                pdfs = jax.lax.fori_loop(
+                    0,
+                    jnp.any(hit_any).astype(jnp.int32),
+                    lambda _, p: pdf_fn(p),
+                    tuple(pdfs),
+                )
             return tuple(gs) + tuple(dones) + tuple(pdfs)
 
         # Skip the level only when EVERY tree is done everywhere (one
@@ -470,12 +652,15 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
         for t in range(1, T):
             nd = jnp.minimum(nd, dones[t])
         state = tuple(gs) + tuple(dones) + tuple(pdf_sum)
-        state = jax.lax.fori_loop(
-            0,
-            jnp.any(nd == 0).astype(jnp.int32),
-            lambda _, s: level_fn(s),
-            state,
-        )
+        if "nogate" in _NEUTER:
+            state = level_fn(state)
+        else:
+            state = jax.lax.fori_loop(
+                0,
+                jnp.any(nd == 0).astype(jnp.int32),
+                lambda _, s: level_fn(s),
+                state,
+            )
         gs = list(state[:T])
         dones = list(state[T : 2 * T])
         pdf_sum = list(state[2 * T :])
@@ -529,9 +714,11 @@ def _make_kernel(num_trees, depth_levels, num_classes, counts, r, h, w,
     def kernel(scale_ref, fc_ref, even_ref, odd_ref, dc_ref, filt_ref, *args):
         tables = args[: depth_levels * NCOMP]
         out_ref = args[depth_levels * NCOMP]
+        scratch_ref = args[depth_levels * NCOMP + 1]
 
-        y_px, x_px, gather_image_multi, chunked_lookup, _ = _tile_context(
-            even_ref, odd_ref, r, h, w, pl.program_id(1), pl.program_id(2)
+        y_px, x_px, gather_image_multi, chunked_lookup, prims = _tile_context(
+            even_ref, odd_ref, r, h, w, pl.program_id(1), pl.program_id(2),
+            scratch_ref=scratch_ref,
         )
         d_center = dc_ref[0]
         filt = filt_ref[0]
@@ -548,7 +735,7 @@ def _make_kernel(num_trees, depth_levels, num_classes, counts, r, h, w,
         best_c, all_done = _traverse_tile(
             tables, num_trees, depth_levels, num_classes, counts, eligible,
             safe_df, zero_center, scale, y_px, x_px,
-            gather_image_multi, chunked_lookup,
+            gather_image_multi, chunked_lookup, bound_helpers=prims[2:5],
         )
         write = eligible if write_all_eligible else (eligible & all_done)
         out_ref[0] = jnp.where(write, best_c, MAX_UINT16)
@@ -610,6 +797,7 @@ def _run_pallas(
         ],
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct((n, hl_pad, wl_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((SUB, 64), jnp.int32)],
         interpret=interpret,
     )(scale, filter_class, depth_even, depth_odd, d_center, filt, *tables_flat)
 
@@ -707,12 +895,13 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
         cond_flag_ref = args[pos]
         cond_val_ref = args[pos + 1]
         out_ref = args[pos + 2]
+        scratch_ref = args[pos + 3]
 
         flat = idx_ref[pl.program_id(0)]
         ty = (flat // ntx) % nty
         tx = flat % ntx
-        y_px, x_px, gather_image_multi, chunked_lookup, _ = _tile_context(
-            even_ref, odd_ref, r, h, w, ty, tx
+        y_px, x_px, gather_image_multi, chunked_lookup, prims = _tile_context(
+            even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=scratch_ref
         )
         d_center = dc_ref[0]
         scale = scale_ref[0, 0]
@@ -732,7 +921,7 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
             best_c, _ = _traverse_tile(
                 layer_tables[i], t, d, c, counts, eligible,
                 safe_df, zero_center, scale, y_px, x_px,
-                gather_image_multi, chunked_lookup,
+                gather_image_multi, chunked_lookup, bound_helpers=prims[2:5],
             )
             labels.append(jnp.where(eligible, best_c, MAX_UINT16))
 
@@ -830,6 +1019,7 @@ def _run_layered_pallas(
         out_specs=pl.BlockSpec(
             (1, SUB, LANE), tile_map, memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[pltpu.VMEM((SUB, 64), jnp.int32)],
     )
 
     out = pl.pallas_call(

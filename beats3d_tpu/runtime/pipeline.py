@@ -61,6 +61,15 @@ class PipelineConfig:
     # is disabled when >= the frame dims (e.g. tiny test frames).
     crop_h: int = 256
     crop_w: int = 384
+    # Worst-case guard: the Pallas eval kernel adapts its probe sweeps to
+    # each tile's live depth range, so coherent frames are fast but an
+    # adversarial incoherent frame (random depth everywhere) can cost ~100x.
+    # When more than guard_tile_frac of the occupied label tiles have an
+    # in-tile depth spread above guard_spread (0.1 mm units), evaluation
+    # falls back to the XLA path inside the same jit, capping the worst
+    # case.  guard_spread <= 0 disables the guard.
+    guard_spread: int = 1500
+    guard_tile_frac: float = 0.25
 
 
 def _fingertip_heights(
@@ -89,10 +98,10 @@ def _fingertip_heights(
     return heights, valid, jnp.stack([px, py], axis=-1)
 
 
-def _frame_front(raw_depth, plane_mat, pp, focal_x, gauss_kernel,
-                 plane_z_threshold, group_min_size, cfg: PipelineConfig):
-    """Preprocess one frame through stencils: raw depth -> per-hand depth
-    stack (right, mirrored-left), grown group image, group info."""
+def _preproc_front(raw_depth, plane_mat, pp, focal_x, gauss_kernel,
+                   plane_z_threshold, group_min_size, cfg: PipelineConfig):
+    """Preprocess one frame up to grouping: filtered+smoothed depth, grown
+    group image, group info."""
     pts = points.deproject_points(raw_depth, pp, focal_x)
     q = points.transform_points(pts, plane_mat)
     qf = points.filter_points_by_plane(q, plane_z_threshold)
@@ -102,24 +111,77 @@ def _frame_front(raw_depth, plane_mat, pp, focal_x, gauss_kernel,
     small = points.shrink_image(depth1, cfg.depth_mm_level)
     groups_small, g_info = components.make_hand_groups(small, group_min_size)
     grown = points.grow_groups(groups_small)
+    return depth1, grown, g_info, groups_small
 
+
+def _full_stencils(depth1, grown, cfg: PipelineConfig):
+    """Full-resolution per-hand depth stack (right, mirrored-left) — the
+    fallback path when a hand exceeds the crop window."""
     d_right = points.stencil_depth_image_by_group(
         grown, depth1, cfg.depth_mm_level, 1
     )
     d_left = points.flip_x(
         points.stencil_depth_image_by_group(grown, depth1, cfg.depth_mm_level, 2)
     )
-    hand_depth = points.convert_0s_to_maxuint(jnp.stack([d_right, d_left]))
-    return hand_depth, grown, g_info, groups_small
+    return points.convert_0s_to_maxuint(jnp.stack([d_right, d_left]))
+
+
+def _stencil_crops(depth1, grown, oys, oxs, cfg: PipelineConfig, h, w):
+    """Per-hand stenciled crops cut straight from depth1/grown — the full-res
+    stencil never materializes (~5x less stencil/convert work than
+    _full_stencils).  Crop origins are multiples of the mipmap factor so the
+    grown-group slice is exact; the left hand's (mirrored-space) origin maps
+    to an unmirrored slice that is flipped after stenciling.  Output is
+    bit-identical to cropping _full_stencils at the same origins."""
+    f = 1 << cfg.depth_mm_level
+    ch, cw = cfg.crop_h, cfg.crop_w
+    d_r = jax.lax.dynamic_slice(depth1, (oys[0], oxs[0]), (ch, cw))
+    g_r = jax.lax.dynamic_slice(
+        grown, (oys[0] // f, oxs[0] // f), (ch // f, cw // f)
+    )
+    s_r = points.stencil_depth_image_by_group(g_r, d_r, cfg.depth_mm_level, 1)
+    x0u = w - cw - oxs[1]
+    d_l = jax.lax.dynamic_slice(depth1, (oys[1], x0u), (ch, cw))
+    g_l = jax.lax.dynamic_slice(
+        grown, (oys[1] // f, x0u // f), (ch // f, cw // f)
+    )
+    s_l = points.flip_x(
+        points.stencil_depth_image_by_group(g_l, d_l, cfg.depth_mm_level, 2)
+    )
+    return points.convert_0s_to_maxuint(jnp.stack([s_r, s_l]))
+
+
+def _incoherent(depth_imgs, r, cfg: PipelineConfig):
+    """True when the frame would blow up the Pallas kernel's dynamic probe
+    sweeps: the fraction of occupied (8, 128) label-grid tiles whose in-tile
+    valid-depth spread exceeds ``cfg.guard_spread`` is above
+    ``cfg.guard_tile_frac`` (see PipelineConfig.guard_spread)."""
+    n = depth_imgs.shape[0]
+    c = depth_imgs[:, ::r, ::r].astype(jnp.int32)
+    hl, wl = c.shape[1], c.shape[2]
+    hp = ((hl + 7) // 8) * 8
+    wp = ((wl + 127) // 128) * 128
+    cpad = jnp.pad(c, ((0, 0), (0, hp - hl), (0, wp - wl)))
+    t = cpad.reshape(n, hp // 8, 8, wp // 128, 128)
+    valid = (t > 0) & (t < 65535)
+    tmin = jnp.min(jnp.where(valid, t, jnp.int32(1 << 20)), axis=(2, 4))
+    tmax = jnp.max(jnp.where(valid, t, -1), axis=(2, 4))
+    occupied = tmax >= 0
+    spread = occupied & ((tmax - tmin) > cfg.guard_spread)
+    n_occ = jnp.maximum(occupied.sum(), 1).astype(jnp.float32)
+    return spread.sum().astype(jnp.float32) / n_occ > cfg.guard_tile_frac
 
 
 def _crop_origins(grown, cfg: PipelineConfig, h, w):
     """Per-hand crop origins around the grown group bbox (the left hand's
     stencil image was mirrored, so its bbox is mirrored too) and the
-    exceeds-crop flag.  Origins are even so the r=2 label grid stays
+    exceeds-crop flag.  Origins are multiples of both the mipmap factor and
+    labels_reduce so the grown-group slice and the label grid stay
     aligned."""
     ch, cw = cfg.crop_h, cfg.crop_w
     f = 1 << cfg.depth_mm_level
+    if f % cfg.labels_reduce != 0:
+        f *= cfg.labels_reduce
 
     def bbox_fullres(gid, mirrored):
         m = grown == gid
@@ -140,14 +202,19 @@ def _crop_origins(grown, cfg: PipelineConfig, h, w):
     def origin(lo, hi, crop, dim):
         c = (lo + hi - crop) // 2
         c = jnp.clip(c, 0, dim - crop)
-        return (c // 2) * 2
+        # snap to the mipmap factor so the grown-group slice in
+        # _stencil_crops is exact (f is a multiple of labels_reduce)
+        return (c // f) * f
 
     oys, oxs, too_big = [], [], jnp.bool_(False)
     for gid, mirrored in ((1, False), (2, True)):
         ylo, yhi, xlo, xhi, present = bbox_fullres(gid, mirrored)
         oys.append(origin(ylo, yhi, ch, h))
         oxs.append(origin(xlo, xhi, cw, w))
-        too_big |= present & ((yhi - ylo > ch) | (xhi - xlo > cw))
+        # f-1 slack: origin snapping can shift the window up to f-1 px left
+        too_big |= present & (
+            (yhi - ylo > ch - f + 1) | (xhi - xlo > cw - f + 1)
+        )
     return jnp.stack(oys), jnp.stack(oxs), too_big
 
 
@@ -170,6 +237,7 @@ def frame_step(
     gauss_kernel: jnp.ndarray,
     plane_z_threshold,
     group_min_size,
+    layer_tables_xla: Tuple = None,
     *,
     cfg: PipelineConfig,
     filter_specs: Tuple,
@@ -193,9 +261,11 @@ def frame_step(
     cfgv = cfg
     h, w = raw_depth.shape
 
-    # Per-hand stencil; the left hand (group 2) is mirrored so the right-hand
-    # model applies (3d_bz.py:406-414), then both hands run BATCHED.
-    hand_depth, grown, g_info, groups_small = _frame_front(
+    # Preprocess to the grown group image; the per-hand stencils (the left
+    # hand mirrored so the right-hand model applies, 3d_bz.py:406-414) are
+    # built inside the crop/full branches so the crop path never touches the
+    # full frame.
+    depth1, grown, g_info, groups_small = _preproc_front(
         raw_depth, plane_mat, pp, focal_x, gauss_kernel,
         plane_z_threshold, group_min_size, cfgv,
     )
@@ -204,7 +274,7 @@ def frame_step(
     r = cfgv.labels_reduce
     hl, wl = h // r, w // r
 
-    def eval_layers(depth_imgs):
+    def eval_layers_fast(depth_imgs):
         return run_layered(
             depth_imgs,
             layer_tables,
@@ -218,39 +288,71 @@ def frame_step(
             num_cond=num_cond,
         )
 
-    ch, cw = cfgv.crop_h, cfgv.crop_w
-    use_crop = ch < h and cw < w and ch % 16 == 0 and cw % 16 == 0
-    if use_crop:
-        oys, oxs, too_big = _crop_origins(grown, cfgv, h, w)
+    def eval_layers(depth_imgs):
+        # Worst-case guard (PipelineConfig.guard_spread): incoherent frames
+        # bypass the Pallas kernel for the spread-insensitive XLA path.
+        if (backend != "pallas" or layer_tables_xla is None
+                or cfg.guard_spread <= 0):
+            return eval_layers_fast(depth_imgs)
 
-        def eval_cropped(hand_depth):
-            crops = jnp.stack([
-                jax.lax.dynamic_slice(hand_depth[i], (oys[i], oxs[i]), (ch, cw))
-                for i in range(2)
-            ])
-            lc = eval_layers(crops)  # (2, ch//r, cw//r)
-            canvas = jnp.full((hl, wl), 65535, lc.dtype)
-            return jnp.stack([
-                jax.lax.dynamic_update_slice(
-                    canvas, lc[i], (oys[i] // r, oxs[i] // r)
-                )
-                for i in range(2)
-            ])
+        def eval_layers_xla(d):
+            return run_layered(
+                d, layer_tables_xla, conditions, filter_specs=filter_specs,
+                labels_reduce=cfgv.labels_reduce, scale_factor=scale_factor,
+                backend="xla",
+            )
 
-        labels = jax.lax.cond(too_big, eval_layers, eval_cropped, hand_depth)
-    else:
-        labels = eval_layers(hand_depth)
-    # Un-mirror the left hand's labels back into screen space (3d_bz.py:439-446).
-    labels = jnp.stack([labels[0], points.flip_x(labels[1])])
+        return jax.lax.cond(
+            _incoherent(depth_imgs, r, cfgv),
+            eval_layers_xla, eval_layers_fast, depth_imgs,
+        )
 
-    ms = jax.vmap(
-        lambda li: meanshift.mean_shift(
+    def run_ms(li):
+        return meanshift.mean_shift(
             li,
             variances,
             num_classes=num_layered_classes,
             num_rounds=cfgv.mean_shift_rounds,
         )
-    )(labels)
+
+    ch, cw = cfgv.crop_h, cfgv.crop_w
+    use_crop = ch < h and cw < w and ch % 16 == 0 and cw % 16 == 0
+    if use_crop:
+        oys, oxs, too_big = _crop_origins(grown, cfgv, h, w)
+
+        def eval_full(_):
+            lab = eval_layers(_full_stencils(depth1, grown, cfgv))
+            # Un-mirror the left hand's labels (3d_bz.py:439-446).
+            labels_screen = jnp.stack([lab[0], points.flip_x(lab[1])])
+            return labels_screen, jax.vmap(run_ms)(labels_screen)
+
+        def eval_cropped(_):
+            crops = _stencil_crops(depth1, grown, oys, oxs, cfgv, h, w)
+            lc = eval_layers(crops)  # (2, ch//r, cw//r)
+            canvas = jnp.full((hl, wl), 65535, lc.dtype)
+            scat = [
+                jax.lax.dynamic_update_slice(
+                    canvas, lc[i], (oys[i] // r, oxs[i] // r)
+                )
+                for i in range(2)
+            ]
+            labels_screen = jnp.stack([scat[0], points.flip_x(scat[1])])
+            # Mean shift on the crops (~4x less data); shift modes back to
+            # screen coordinates.  A mirrored image yields the exactly
+            # mirrored mode, so the left hand maps through x -> wl-1-x.
+            m = jax.vmap(run_ms)(lc)  # (2, C, 2) crop coords
+            ox_l = (oxs[:, None] // r).astype(jnp.float32)
+            oy_l = (oys[:, None] // r).astype(jnp.float32)
+            sx = ox_l + m[..., 0]
+            sy = oy_l + m[..., 1]
+            sx = sx.at[1].set((wl - 1) - sx[1])
+            return labels_screen, jnp.stack([sx, sy], axis=-1)
+
+        labels, ms = jax.lax.cond(too_big, eval_full, eval_cropped, None)
+    else:
+        lab = eval_layers(_full_stencils(depth1, grown, cfgv))
+        labels = jnp.stack([lab[0], points.flip_x(lab[1])])
+        ms = jax.vmap(run_ms)(labels)
 
     tips = [
         _fingertip_heights(
@@ -293,6 +395,7 @@ def frame_step_batched(
     gauss_kernel: jnp.ndarray,
     plane_z_threshold,
     group_min_size,
+    layer_tables_xla: Tuple = None,
     *,
     cfg: PipelineConfig,
     filter_specs: Tuple,
@@ -321,34 +424,49 @@ def frame_step_batched(
     use_crop = ch < h and cw < w and ch % 16 == 0 and cw % 16 == 0
 
     def front(raw):
-        hand_depth, grown, g_info, _ = _frame_front(
+        depth1, grown, g_info, _ = _preproc_front(
             raw, plane_mat, pp, focal_x, gauss_kernel,
             plane_z_threshold, group_min_size, cfgv,
         )
         if use_crop:
             oys, oxs, too_big = _crop_origins(grown, cfgv, h, w)
-            crops = jnp.stack([
-                jax.lax.dynamic_slice(
-                    hand_depth[i], (oys[i], oxs[i]), (ch, cw)
-                )
-                for i in range(2)
-            ])
+            crops = _stencil_crops(depth1, grown, oys, oxs, cfgv, h, w)
         else:
             oys = oxs = jnp.zeros((2,), jnp.int32)
             too_big = jnp.bool_(True)
-            crops = hand_depth[:, :1, :1]  # unused
-        return hand_depth, crops, g_info, oys, oxs, too_big
+            crops = jnp.zeros((2, 1, 1), jnp.uint16)  # unused
+        return depth1, grown, crops, g_info, oys, oxs, too_big
 
-    hand_depth, crops, g_info, oys, oxs, too_big = jax.vmap(front)(raw_depth)
+    depth1, grown, crops, g_info, oys, oxs, too_big = jax.vmap(front)(
+        raw_depth
+    )
 
     scale_factor = jnp.float32(w) / jnp.float32(cfgv.train_dim_x)
 
-    def eval_layers(depth_imgs):
+    def eval_layers_fast(depth_imgs):
         return run_layered(
             depth_imgs, layer_tables, conditions,
             filter_specs=filter_specs, labels_reduce=cfgv.labels_reduce,
             scale_factor=scale_factor, backend=backend, metas=metas,
             conditions_packed=conditions_packed, num_cond=num_cond,
+        )
+
+    def eval_layers(depth_imgs):
+        # Batch-level worst-case guard (PipelineConfig.guard_spread).
+        if (backend != "pallas" or layer_tables_xla is None
+                or cfgv.guard_spread <= 0):
+            return eval_layers_fast(depth_imgs)
+
+        def eval_layers_xla(d):
+            return run_layered(
+                d, layer_tables_xla, conditions, filter_specs=filter_specs,
+                labels_reduce=cfgv.labels_reduce, scale_factor=scale_factor,
+                backend="xla",
+            )
+
+        return jax.lax.cond(
+            _incoherent(depth_imgs, r, cfgv),
+            eval_layers_xla, eval_layers_fast, depth_imgs,
         )
 
     def run_ms(labels_2d):
@@ -358,6 +476,9 @@ def frame_step_batched(
         )
 
     def full_path(_):
+        hand_depth = jax.vmap(
+            lambda d1, gr: _full_stencils(d1, gr, cfgv)
+        )(depth1, grown)
         lab = eval_layers(hand_depth.reshape(2 * b, h, w)).reshape(
             b, 2, hl, wl
         )
@@ -468,11 +589,17 @@ class FramePipeline:
             self._metas = model.layer_metas()
             self._cond_packed = model.conditions_packed()
             self._num_cond = int(np.asarray(model.conditions_np).shape[0])
+            # XLA tables ride along for the in-jit worst-case guard
+            # (PipelineConfig.guard_spread).
+            self._tables_xla = (
+                model.layer_tables() if self.cfg.guard_spread > 0 else None
+            )
         else:
             self._tables = model.layer_tables()
             self._metas = None
             self._cond_packed = None
             self._num_cond = None
+            self._tables_xla = None
         self._filter_specs = tuple(
             (l.filter_model, l.filter_model_class) for l in model.layers
         )
@@ -497,6 +624,7 @@ class FramePipeline:
             self.gauss_kernel,
             self._zthr,
             self._gms,
+            self._tables_xla,
             cfg=self.cfg,
             filter_specs=self._filter_specs,
             num_layered_classes=self.model.num_layered_classes,
@@ -521,6 +649,7 @@ class FramePipeline:
             self.gauss_kernel,
             self._zthr,
             self._gms,
+            self._tables_xla,
             cfg=self.cfg,
             filter_specs=self._filter_specs,
             num_layered_classes=self.model.num_layered_classes,
