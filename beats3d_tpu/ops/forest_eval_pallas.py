@@ -89,10 +89,22 @@ def pack_tables_pallas(forest_flat: np.ndarray):
     dynamic-leading-index load of an aligned (8, 128) block plus a sublane
     roll (Mosaic requires 8-aligned sublane offsets).  Levels with <= 128
     nodes are PRE-BROADCAST: all 8 sublanes hold the same 128 values, so the
-    lookup is a direct load + lane shuffle.  pdf adds a side*C+class leading
-    dim: (T, 2C, SC, 8, 128), indexed by compact id.
+    lookup is a direct load + lane shuffle.
 
-    Returns (levels_tuple, (T, D_eff, C, counts)) where counts[j] is the
+    Leaf pdfs are DEFERRED: each (level, node, side) leaf slot gets a
+    GLOBAL per-tree leaf id (BFS order), carried per level in ``lf`` —
+    packed (leaf_l+1) | ((leaf_r+1) << 16), 0 meaning "that side descends"
+    — and the pdfs live in ONE (T, C, LSC, 8, 128) table indexed by leaf
+    id.  The kernel tracks the winning leaf id during traversal (one i32
+    lookup per tree per level, sharing the component lookups' chunk bounds)
+    and gathers all class pdfs ONCE after the walk.  Attribution on the
+    flagship D=16 model showed per-level pdf gathers were ~90% of kernel
+    time: divergent leaf nodes at deep levels made every level pay a wide
+    (tree x class) chunk sweep (scripts/profile_attrib.py).
+
+    Returns (tables, (T, D_eff, C, counts, num_leaves)): tables is
+    D_eff per-level 7-tuples (ux, uy, vx, vy, thresh, ch, lf) followed by a
+    1-tuple holding the global leaf-pdf table; counts[j] is the
     max-over-trees evaluated-node count at level j.
     """
     t, total, els = forest_flat.shape
@@ -143,57 +155,76 @@ def pack_tables_pallas(forest_flat: np.ndarray):
             f"level {j} has {n_j} evaluated nodes; compact child pointers "
             "are 16-bit — split the forest"
         )
-        n_chunks = (n_j + LANE - 1) // LANE
-        sc = (n_chunks + SUB - 1) // SUB
-        gpad = sc * SUB * LANE
-        bcast = n_j <= LANE
-        # pdf layout is a static per-level choice (mirrored in _traverse_tile
-        # pdf_fn): 2q+side INTERLEAVED when that still fits one broadcast
-        # chunk (<=64 nodes: ONE direct lookup per class) or when the level
-        # is chunked anyway (halves the lookups at the same sweep span);
-        # side-SPLIT for 65..128 nodes where interleaving would turn two
-        # direct lookups into a chunk sweep.
-        n2 = 2 * n_j
-        interleave = n2 <= LANE or n_j > LANE
-        sc2 = ((n2 + LANE - 1) // LANE + SUB - 1) // SUB
-        gpad2 = sc2 * SUB * LANE
-        bcast2 = n2 <= LANE
+    def shaped(x, n_entries):
+        n_chunks = (max(n_entries, 1) + LANE - 1) // LANE
+        scn = (n_chunks + SUB - 1) // SUB
+        gpad = scn * SUB * LANE
+        x = np.asarray(x)
+        pad = np.zeros(x.shape[:-1] + (gpad - x.shape[-1],), x.dtype)
+        x = np.concatenate([x, pad], axis=-1)
+        x = x.reshape(x.shape[:-1] + (scn, SUB, LANE))
+        if n_entries <= LANE:
+            reps = [1] * x.ndim
+            reps[-2] = SUB
+            x = np.tile(x[..., 0:1, :], reps)
+        return jnp.asarray(x)
 
-        comp = np.zeros((t, gpad, 5), np.float32)
-        chp = np.zeros((t, gpad), np.int32)
-        if interleave:
-            pdf = np.zeros((t, c, gpad2), np.float32)
-        else:
-            pdf = np.zeros((t, 2 * c, gpad), np.float32)
+    # global per-tree leaf numbering in DFS (in-order) order: a coherent
+    # tile's pixels agree on the first several splits, so their leaves live
+    # in one contiguous id range and the deferred pdf gather's chunk sweep
+    # stays narrow.  (BFS numbering scattered a tile's leaves across level
+    # bands — measured ~20 ms of sweep on the flagship fine forest.)
+    leaf_counts = [0] * t
+    leaf_ids = [
+        [[None] * len(ids[tree][j]) for j in range(d_eff)] for tree in range(t)
+    ]
+
+    def assign_dfs(tree, j, q):
+        cl, cr = childs[tree][j][q]
+        lid = [0, 0]
+        for side, ch_q in ((0, cl), (1, cr)):
+            if ch_q == -1:  # leaf slot
+                leaf_counts[tree] += 1
+                lid[side] = leaf_counts[tree]
+            else:
+                assign_dfs(tree, j + 1, ch_q)
+        leaf_ids[tree][j][q] = tuple(lid)
+
+    for tree in range(t):
+        if ids[tree][0]:
+            assign_dfs(tree, 0, 0)
+    num_leaves = max(max(leaf_counts), 1)
+    assert num_leaves < 0xFFFF, (
+        f"{num_leaves} leaves in one tree; packed leaf ids are 16-bit — "
+        "split the forest"
+    )
+
+    leaf_pdf = np.zeros((t, c, num_leaves), np.float32)
+    for j in range(d_eff):
+        n_j = counts[j]
+        comp = np.zeros((t, 5, n_j), np.float32)
+        chp = np.zeros((t, n_j), np.int32)
+        lfp = np.zeros((t, n_j), np.int32)
         lo = (1 << j) - 1
         for tree in range(t):
             for q, g in enumerate(ids[tree][j]):
                 node = forest_flat[tree, lo + g]
-                comp[tree, q] = node[0:5]
+                comp[tree, :, q] = node[0:5]
                 cl, cr = childs[tree][j][q]
                 chp[tree, q] = (cl + 1) | ((cr + 1) << 16)
-                if interleave:
-                    pdf[tree, :, 2 * q] = node[7 : 7 + c]
-                    pdf[tree, :, 2 * q + 1] = node[7 + c : 7 + 2 * c]
-                else:
-                    pdf[tree, :, q] = node[7 : 7 + 2 * c]
+                ll, lr = leaf_ids[tree][j][q]
+                lfp[tree, q] = ll | (lr << 16)
+                if ll:
+                    leaf_pdf[tree, :, ll - 1] = node[7 : 7 + c]
+                if lr:
+                    leaf_pdf[tree, :, lr - 1] = node[7 + c : 7 + 2 * c]
 
-        def shaped(x, scn=sc, bc=bcast):
-            x = x.reshape(x.shape[:-1] + (scn, SUB, LANE))
-            if bc:
-                reps = [1] * x.ndim
-                reps[-2] = SUB
-                x = np.tile(x[..., 0:1, :], reps)
-            return jnp.asarray(x)
-
-        pdf_shaped = (
-            shaped(pdf, scn=sc2, bc=bcast2) if interleave else shaped(pdf)
-        )
         levels.append(
-            tuple(shaped(comp[:, :, k]) for k in range(5))
-            + (shaped(chp), pdf_shaped)
+            tuple(shaped(comp[:, k], n_j) for k in range(5))
+            + (shaped(chp, n_j), shaped(lfp, n_j))
         )
-    return tuple(levels), (t, d_eff, c, tuple(counts))
+    tables = tuple(levels) + ((shaped(leaf_pdf, num_leaves),),)
+    return tables, (t, d_eff, c, tuple(counts), num_leaves)
 
 
 def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
@@ -373,59 +404,72 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                 return srow, chunk, lane_idx, oob, serve
 
             preps = [prep(yy, xx, act) for (yy, xx, act) in probes]
-            if BATCH_PROBE_MINS and scratch_ref is not None:
-                bound_rows = []
-                for (srow, chunk, lane_idx, oob, active) in preps:
-                    bound_rows.append(jnp.min(srow, axis=0, keepdims=True))
-                    bound_rows.append(row_min(-srow, active))
-                    bound_rows.append(jnp.min(chunk, axis=0, keepdims=True))
-                    bound_rows.append(row_min(-chunk, active))
-                bnds = scalar_mins(bound_rows)
-            else:
-                bnds = []
-                for (srow, chunk, lane_idx, oob, active) in preps:
-                    bnds.append(jnp.min(srow))
-                    bnds.append(jnp.min(jnp.where(active, -srow, big)))
-                    bnds.append(jnp.min(chunk))
-                    bnds.append(jnp.min(jnp.where(active, -chunk, big)))
-            out = []
-            for pidx, (srow, chunk, lane_idx, oob, active) in enumerate(preps):
-                s_lo = bnds[4 * pidx]
-                s_hi = jnp.maximum(-bnds[4 * pidx + 1], s_lo)
-                c_lo = bnds[4 * pidx + 2]
-                c_hi = jnp.maximum(-bnds[4 * pidx + 3], c_lo)
-                nc = c_hi - c_lo + 1
-                total = (s_hi - s_lo + 1) * nc
+            # UNION sweep: one dynamic (row, chunk) loop over all probes'
+            # combined range, serving every probe per iteration — 8x fewer
+            # loop iterations and window loads than per-probe sweeps at the
+            # same per-lane shuffle count (the divergent-level fallback was
+            # ~70% of flagship eval time, scripts/profile_attrib.py).
+            act_srows = [
+                jnp.where(active, srow, -1)
+                for (srow, chunk, lane_idx, oob, active) in preps
+            ]
+            act_chunks = [
+                jnp.where(active, chunk, -1)
+                for (srow, chunk, lane_idx, oob, active) in preps
+            ]
+            m_srow = act_srows[0]
+            m_chunk = act_chunks[0]
+            for a, b in zip(act_srows[1:], act_chunks[1:]):
+                m_srow = jnp.maximum(m_srow, a)
+                m_chunk = jnp.maximum(m_chunk, b)
+            n_srow = preps[0][0]
+            n_chunk = preps[0][1]
+            for (srow, chunk, lane_idx, oob, active) in preps[1:]:
+                n_srow = jnp.minimum(n_srow, srow)
+                n_chunk = jnp.minimum(n_chunk, chunk)
+            s_lo = jnp.min(n_srow)
+            s_hi = jnp.maximum(jnp.max(m_srow), s_lo)
+            c_lo = jnp.min(n_chunk)
+            c_hi = jnp.maximum(jnp.max(m_chunk), c_lo)
+            nc = c_hi - c_lo + 1
+            total = (s_hi - s_lo + 1) * nc
 
-                def body(i, acc, srow=srow, chunk=chunk,
-                         lane_idx=lane_idx, s_lo=s_lo, c_lo=c_lo, nc=nc):
-                    s = s_lo + i // nc
-                    cix = c_lo + i % nc
-                    if r == 1:
-                        op = window(even_ref, s, cix)
-                    else:
-                        half2 = s // 2
-                        is_even = (s % 2) == 0
-                        op_e = window(even_ref, half2, cix)
-                        op_o = window(odd_ref, half2, cix)
-                        op = jnp.where(is_even, op_e, op_o)
+            def body(i, accs):
+                s = s_lo + i // nc
+                cix = c_lo + i % nc
+                if r == 1:
+                    op = window(even_ref, s, cix)
+                else:
+                    half2 = s // 2
+                    is_even = (s % 2) == 0
+                    op_e = window(even_ref, half2, cix)
+                    op_o = window(odd_ref, half2, cix)
+                    op = jnp.where(is_even, op_e, op_o)
+                out = []
+                for pidx, (srow, chunk, lane_idx, oob, active) in enumerate(
+                    preps
+                ):
                     sel = (srow == s) & (chunk == cix)
                     v = jnp.take_along_axis(op, lane_idx, axis=1)
-                    return jnp.where(sel, v, acc)
+                    out.append(jnp.where(sel, v, accs[pidx]))
+                return tuple(out)
 
-                acc0 = (
-                    jnp.zeros((SUB, LANE), jnp.int32)
-                    if init_vals is None
-                    else init_vals[pidx]
-                )
-                got = jax.lax.fori_loop(0, total, body, acc0)
-                out.append(jnp.where(oob, MAX_UINT16, got))
-            return tuple(out)
+            accs0 = tuple(
+                jnp.zeros((SUB, LANE), jnp.int32)
+                if init_vals is None else init_vals[pidx]
+                for pidx in range(len(preps))
+            )
+            got = jax.lax.fori_loop(0, total, body, accs0)
+            return tuple(
+                jnp.where(p[3], MAX_UINT16, g) for g, p in zip(got, preps)
+            )
 
         def gather_image_multi(probes):
             """Fast static-window gather with a single self-contained exact
             fallback gate (see gather_probes_fast/exact)."""
             vals, over = gather_probes_fast(probes)
+            if "noexact" in _NEUTER:
+                return vals
 
             def cleanup(_, vals_in):
                 return gather_probes_exact(probes)
@@ -470,12 +514,19 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
 
             def body(cix, acc):
                 blk = load_superchunk(cix // SUB)
-                row = pltpu.roll(blk, -(cix % SUB), 0)[0:1]
+                row = pltpu.roll(blk, (SUB - cix % SUB) % SUB, 0)[0:1]
                 op = jnp.broadcast_to(row, (SUB, LANE))
                 val = jnp.take_along_axis(op, lane_idx, axis=1)
                 return jnp.where(chunk == cix, val, acc)
 
             init = jnp.zeros((SUB, LANE), dtype)
+            if isinstance(c_lo, int) and isinstance(c_hi, int):
+                # static bounds: unrolled straight-line sweep — Mosaic can
+                # software-pipeline it, unlike a dynamic-trip scf loop
+                acc = init
+                for cix in range(c_lo, c_hi + 1):
+                    acc = body(cix, acc)
+                return acc
             return jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
 
     return y_px, x_px, gather_image_multi, chunked_lookup, (
@@ -483,9 +534,10 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
         scalar_mins, chunk_bound_rows, chunk_bounds)
 
 
-def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
-                   eligible, safe_df, zero_center, scale, y_px, x_px,
-                   gather_image_multi, chunked_lookup, bound_helpers=None):
+def _traverse_tile(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
+                   num_classes, counts, eligible, safe_df, zero_center,
+                   scale, y_px, x_px, gather_image_multi, chunked_lookup,
+                   bound_helpers=None):
     """Level-synchronous traversal of one (8, 128) tile through one forest;
     returns (argmax class, all-trees-done mask).
 
@@ -494,9 +546,6 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
     bound reduces, one unioned image sweep, the any()-gates — is paid ONCE
     for T trees instead of T times.  The per-tree work that remains is
     throughput-cheap vector ops."""
-    pdf_sum = [
-        jnp.zeros((SUB, LANE), jnp.float32) for _ in range(num_classes)
-    ]
     scalar_mins, chunk_bound_rows, chunk_bounds = (
         bound_helpers if bound_helpers is not None else (None, None, None)
     )
@@ -504,9 +553,12 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
     not_elig = (~eligible).astype(jnp.int32)
     gs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in range(T)]
     dones = [not_elig for _ in range(T)]
+    # global leaf id per tree, resolved at hit time from the lf component;
+    # the class pdfs are gathered ONCE after the walk (see pack_tables_pallas)
+    leafs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in range(T)]
 
     for j in range(depth_levels):
-        ux_r, uy_r, vx_r, vy_r, th_r, ch_r, pdf_r = tables[
+        ux_r, uy_r, vx_r, vy_r, th_r, ch_r, lf_r = tables[
             j * NCOMP : (j + 1) * NCOMP
         ]
         n_nodes = counts[j]
@@ -514,7 +566,7 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
         def level_fn(state):
             gs = list(state[:T])
             dones = list(state[T : 2 * T])
-            pdfs = list(state[2 * T :])
+            leafs = list(state[2 * T :])
 
             # One batched reduce yields every tree's node-chunk bounds for
             # this level; all 6 component lookups per tree (and the pdf
@@ -529,7 +581,7 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
                     chunk_bounds(flat[2 * t : 2 * t + 2]) for t in range(T)
                 ]
 
-            actives, ths, chs, probes = [], [], [], []
+            actives, ths, chs, lfs, probes = [], [], [], [], []
             for t in range(T):
                 active = dones[t] == 0
                 g = gs[t] if "lut0" not in _NEUTER else jnp.zeros(
@@ -547,6 +599,7 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
                 vx, vy = comp(vx_r), comp(vy_r)
                 ths.append(comp(th_r))
                 chs.append(comp(ch_r))
+                lfs.append(comp(lf_r))
 
                 dux = jnp.floor(scale * ux / safe_df).astype(jnp.int32)
                 duy = jnp.floor(scale * uy / safe_df).astype(jnp.int32)
@@ -561,8 +614,6 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
             else:
                 vals = gather_image_multi(probes)
 
-            pdf_idxs, hits = [], []
-            hit_any = jnp.zeros((SUB, LANE), jnp.bool_)
             old_gs = list(gs)
             for t in range(T):
                 f = vals[2 * t].astype(jnp.float32) - vals[
@@ -571,79 +622,16 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
                 f = jnp.where(zero_center, 0.0, f)
                 left = f < ths[t]
                 side = jnp.where(left, 0, 1)
-                # compact child pointer for the chosen side; 0 = leaf
+                # compact child pointer for the chosen side; 0 = leaf —
+                # in which case the lf component carries the leaf id + 1
                 child = (chs[t] >> (side * 16)) & 0xFFFF
                 descend = child != 0
                 hit = actives[t] & (~descend)
                 gs[t] = jnp.where(actives[t] & descend, child - 1, gs[t])
                 dones[t] = jnp.where(hit, 1, dones[t])
-                pdf_idxs.append(2 * old_gs[t] + side)
-                hits.append(hit)
-                hit_any |= hit
-
-            # static per-level pdf layout, mirroring pack_tables_pallas
-            pdf_interleaved = 2 * n_nodes <= LANE or n_nodes > LANE
-
-            def pdf_fn(pdfs_in):
-                # interleaved: table[2q+side] — ONE lookup per (tree, class),
-                # chunk bounds hoisted across classes.
-                hit_bounds = [None] * T
-                if (pdf_interleaved and 2 * n_nodes > LANE
-                        and scalar_mins is not None):
-                    rows = []
-                    for t in range(T):
-                        rows.extend(chunk_bound_rows(pdf_idxs[t], hits[t]))
-                    flat = scalar_mins(rows)
-                    hit_bounds = [
-                        chunk_bounds(flat[2 * t : 2 * t + 2])
-                        for t in range(T)
-                    ]
-                out = list(pdfs_in)
-                for t in range(T):
-                    for k in range(num_classes):
-                        if pdf_interleaved:
-                            val = chunked_lookup(
-                                lambda sc, _r=pdf_r, _t=t, _k=k: _r[
-                                    _t, _k, sc
-                                ],
-                                pdf_idxs[t], hits[t], jnp.float32,
-                                2 * n_nodes, bounds=hit_bounds[t],
-                            )
-                        else:
-                            # side-split layout (65..128 nodes): two direct
-                            # broadcast lookups + select
-                            val_l = chunked_lookup(
-                                lambda sc, _r=pdf_r, _t=t, _k=k: _r[
-                                    _t, _k, sc
-                                ],
-                                old_gs[t], hits[t], jnp.float32, n_nodes,
-                            )
-                            val_r = chunked_lookup(
-                                lambda sc, _r=pdf_r, _t=t, _k=k: _r[
-                                    _t, num_classes + _k, sc
-                                ],
-                                old_gs[t], hits[t], jnp.float32, n_nodes,
-                            )
-                            val = jnp.where(
-                                pdf_idxs[t] % 2 == 0, val_l, val_r
-                            )
-                        out[k] = out[k] + jnp.where(hits[t], val, 0.0)
-                return tuple(out)
-
-            # 0/1-trip loop instead of cond: Mosaic can't legalize scf.if
-            # with vector results, but dynamic-bound scf loops are fine.
-            if "pdf" in _NEUTER:
-                pdfs = tuple(pdfs)
-            elif "nogate" in _NEUTER:
-                pdfs = pdf_fn(tuple(pdfs))
-            else:
-                pdfs = jax.lax.fori_loop(
-                    0,
-                    jnp.any(hit_any).astype(jnp.int32),
-                    lambda _, p: pdf_fn(p),
-                    tuple(pdfs),
-                )
-            return tuple(gs) + tuple(dones) + tuple(pdfs)
+                leafv = ((lfs[t] >> (side * 16)) & 0xFFFF) - 1
+                leafs[t] = jnp.where(hit, leafv, leafs[t])
+            return tuple(gs) + tuple(dones) + tuple(leafs)
 
         # Skip the level only when EVERY tree is done everywhere (one
         # scalar reduce per level, not per tree).  bool vectors don't
@@ -651,7 +639,7 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
         nd = dones[0]
         for t in range(1, T):
             nd = jnp.minimum(nd, dones[t])
-        state = tuple(gs) + tuple(dones) + tuple(pdf_sum)
+        state = tuple(gs) + tuple(dones) + tuple(leafs)
         if "nogate" in _NEUTER:
             state = level_fn(state)
         else:
@@ -663,11 +651,42 @@ def _traverse_tile(tables, num_trees, depth_levels, num_classes, counts,
             )
         gs = list(state[:T])
         dones = list(state[T : 2 * T])
-        pdf_sum = list(state[2 * T :])
+        leafs = list(state[2 * T :])
 
     all_done = dones[0] != 0
     for t in range(1, T):
         all_done &= dones[t] != 0
+
+    # Deferred pdf gather: every eligible pixel that landed on a leaf reads
+    # its C class pdfs ONCE from the global leaf table — the per-level
+    # (tree x class) chunk sweeps this replaces were ~90% of kernel time on
+    # deep models (scripts/profile_attrib.py).
+    pdf_sum = [
+        jnp.zeros((SUB, LANE), jnp.float32) for _ in range(num_classes)
+    ]
+    if "pdf" not in _NEUTER:
+        acts = [(dones[t] != 0) & eligible for t in range(T)]
+        leaf_bounds = [None] * T
+        if "pdfstatic" in _NEUTER:
+            leaf_bounds = [
+                (0, (num_leaves + LANE - 1) // LANE - 1)
+            ] * T
+        elif num_leaves > LANE and scalar_mins is not None:
+            rows = []
+            for t in range(T):
+                rows.extend(chunk_bound_rows(leafs[t], acts[t]))
+            flat = scalar_mins(rows)
+            leaf_bounds = [
+                chunk_bounds(flat[2 * t : 2 * t + 2]) for t in range(T)
+            ]
+        for t in range(T):
+            for k in range(num_classes):
+                val = chunked_lookup(
+                    lambda sc, _t=t, _k=k: leaf_pdf_r[_t, _k, sc],
+                    leafs[t], acts[t], jnp.float32, num_leaves,
+                    bounds=leaf_bounds[t],
+                )
+                pdf_sum[k] = pdf_sum[k] + jnp.where(acts[t], val, 0.0)
 
     best_v = jnp.zeros((SUB, LANE), jnp.float32)
     best_c = jnp.zeros((SUB, LANE), jnp.int32)
@@ -707,14 +726,15 @@ def _prep_planes(di, r, hl_pad, wl_pad):
     return depth_even, depth_odd, d_center
 
 
-def _make_kernel(num_trees, depth_levels, num_classes, counts, r, h, w,
-                 write_all_eligible):
+def _make_kernel(num_trees, depth_levels, num_classes, counts, num_leaves,
+                 r, h, w, write_all_eligible):
     """Single-forest kernel body with static config baked in."""
 
     def kernel(scale_ref, fc_ref, even_ref, odd_ref, dc_ref, filt_ref, *args):
         tables = args[: depth_levels * NCOMP]
-        out_ref = args[depth_levels * NCOMP]
-        scratch_ref = args[depth_levels * NCOMP + 1]
+        leaf_pdf_r = args[depth_levels * NCOMP]
+        out_ref = args[depth_levels * NCOMP + 1]
+        scratch_ref = args[depth_levels * NCOMP + 2]
 
         y_px, x_px, gather_image_multi, chunked_lookup, prims = _tile_context(
             even_ref, odd_ref, r, h, w, pl.program_id(1), pl.program_id(2),
@@ -733,9 +753,10 @@ def _make_kernel(num_trees, depth_levels, num_classes, counts, r, h, w,
         zero_center = df == 0.0
 
         best_c, all_done = _traverse_tile(
-            tables, num_trees, depth_levels, num_classes, counts, eligible,
-            safe_df, zero_center, scale, y_px, x_px,
-            gather_image_multi, chunked_lookup, bound_helpers=prims[2:5],
+            tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
+            num_classes, counts, eligible, safe_df, zero_center, scale,
+            y_px, x_px, gather_image_multi, chunked_lookup,
+            bound_helpers=prims[2:5],
         )
         write = eligible if write_all_eligible else (eligible & all_done)
         out_ref[0] = jnp.where(write, best_c, MAX_UINT16)
@@ -757,11 +778,11 @@ def _run_pallas(
     *, dims, labels_reduce, write_all_eligible, interpret,
 ):
     (n, h, w, hl_pad, wl_pad, num_trees, depth_levels, num_classes,
-     counts) = dims
+     counts, num_leaves) = dims
     r = labels_reduce
 
     kernel = _make_kernel(
-        num_trees, depth_levels, num_classes, counts, r, h, w,
+        num_trees, depth_levels, num_classes, counts, num_leaves, r, h, w,
         write_all_eligible
     )
 
@@ -829,7 +850,7 @@ def evaluate_forest_pallas(
     depth: (N, H, W) uint16; packed_tables/meta from :func:`pack_tables_pallas`.
     Returns (N, H//r, W//r) uint16 labels (65535 where not evaluated).
     """
-    num_trees, depth_levels, num_classes, counts = meta
+    num_trees, depth_levels, num_classes, counts, num_leaves = meta
     n, h, w = depth.shape
     r = labels_reduce
     hl, wl = h // r, w // r
@@ -853,7 +874,8 @@ def evaluate_forest_pallas(
         tables_flat.extend(lvl)
 
     dims = (
-        n, h, w, hl_pad, wl_pad, num_trees, depth_levels, num_classes, counts
+        n, h, w, hl_pad, wl_pad, num_trees, depth_levels, num_classes,
+        counts, num_leaves,
     )
     out = _run_pallas(
         depth_even,
@@ -889,9 +911,11 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
     def kernel(idx_ref, scale_ref, even_ref, odd_ref, dc_ref, *args):
         pos = 0
         layer_tables = []
-        for (t, d, c, _counts) in metas:
+        layer_leaf_pdfs = []
+        for (t, d, c, _counts, _nl) in metas:
             layer_tables.append(args[pos : pos + d * NCOMP])
-            pos += d * NCOMP
+            layer_leaf_pdfs.append(args[pos + d * NCOMP])
+            pos += d * NCOMP + 1
         cond_flag_ref = args[pos]
         cond_val_ref = args[pos + 1]
         out_ref = args[pos + 2]
@@ -912,15 +936,15 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
         zero_center = df == 0.0
 
         labels = []
-        for i, ((t, d, c, counts), (fm, fc)) in enumerate(
+        for i, ((t, d, c, counts, nl), (fm, fc)) in enumerate(
             zip(metas, filter_specs)
         ):
             eligible = base_eligible
             if fm is not None:
                 eligible = eligible & (labels[fm] == fc)
             best_c, _ = _traverse_tile(
-                layer_tables[i], t, d, c, counts, eligible,
-                safe_df, zero_center, scale, y_px, x_px,
+                layer_tables[i], layer_leaf_pdfs[i], nl, t, d, c, counts,
+                eligible, safe_df, zero_center, scale, y_px, x_px,
                 gather_image_multi, chunked_lookup, bound_helpers=prims[2:5],
             )
             labels.append(jnp.where(eligible, best_c, MAX_UINT16))

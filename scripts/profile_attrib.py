@@ -6,25 +6,22 @@ import subprocess
 import sys
 
 WORKER = r"""
-import gzip, os, shutil, tempfile, time
+import gzip, os, time
 import numpy as np
 import jax
 import jax.numpy as jnp
 from beats3d_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
-from beats3d_tpu.models import LayeredDecisionForest
-from beats3d_tpu.runtime.pipeline import FramePipeline
-from beats3d_tpu.utils import CameraIntrinsics
 from beats3d_tpu.ops import forest_eval_pallas as fep
 
-tmpd = tempfile.mkdtemp()
-for name in ("m0.npy", "model_cfg.json"):
-    shutil.copy(os.path.join("models/flagship", name), os.path.join(tmpd, name))
+# the D=16 fine forest ALONE: its labels feed nothing, so neutering a stage
+# cannot silently disable downstream layers (the layered-model attribution
+# trap: zeroed coarse labels skip the fine layer entirely)
 with gzip.open("models/flagship/m1.npy.gz", "rb") as f:
-    open(os.path.join(tmpd, "m1.npy"), "wb").write(f.read())
-intrin = CameraIntrinsics.d415()
-model = LayeredDecisionForest.load(os.path.join(tmpd, "model_cfg.json"), labels_reduce=2)
-pipe = FramePipeline(model, intrin)
+    import io
+    flat = np.load(io.BytesIO(f.read())).astype(np.float32)
+tables, meta = fep.pack_tables_pallas(flat)
+print("LEVELS", meta[3], "leaves", meta[4])
 
 h, w = 256, 384
 yy, xx = np.mgrid[0:h, 0:w]
@@ -34,10 +31,8 @@ d[:, blob] = (2300 + yy[blob] * 0.5).astype(np.uint16)
 d = jnp.asarray(d)
 
 def ev():
-    return fep.evaluate_layered_pallas(
-        d, pipe._tables, pipe._metas, pipe._cond_packed, pipe._num_cond,
-        filter_specs=pipe._filter_specs, labels_reduce=2,
-        scale_factor=jnp.float32(1.0))
+    return fep.evaluate_forest_pallas(
+        d, tables, meta, labels_reduce=2, scale_factor=jnp.float32(1.0))
 
 o = ev(); np.asarray(o)
 t0 = time.perf_counter()
@@ -49,7 +44,7 @@ print(f"RESULT {(time.perf_counter() - t0) / 40 * 1e3:.2f}")
 
 
 def main():
-    variants = ["", "pdf", "img", "lut0", "img,pdf", "img,lut0,pdf"]
+    variants = [""]
     for v in variants:
         env = dict(os.environ)
         env["B3D_EVAL_NEUTER"] = v
@@ -58,9 +53,12 @@ def main():
             [sys.executable, "-c", WORKER], env=env, capture_output=True,
             text=True, timeout=580,
         )
-        line = [l for l in r.stdout.splitlines() if l.startswith("RESULT")]
-        ms = line[0].split()[1] if line else f"FAIL\n{r.stderr[-500:]}"
-        print(f"neuter={v or 'none':14s}: {ms} ms")
+        lines = [l for l in r.stdout.splitlines()
+                 if l.startswith(("RESULT", "LEVELS"))]
+        ms = lines[-1].split()[1] if lines and lines[-1].startswith(
+            "RESULT") else f"FAIL\n{r.stderr[-800:]}"
+        extra = lines[0] if len(lines) > 1 else ""
+        print(f"neuter={v or 'none':14s}: {ms} ms   {extra}")
 
 
 if __name__ == "__main__":
