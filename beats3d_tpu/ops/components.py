@@ -26,6 +26,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _gather_mm(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``vals[idx]`` for a flat f32 table via one-hot MXU matmul.
+
+    XLA lowers 1D dynamic gathers to ~30 ns/element scalar loops on TPU; a
+    (P, NR) one-hot row-select matmul + lane mask-reduce runs the same
+    gather as two dense vector/MXU ops.  Exact for integer-valued f32
+    payloads < 2^24 (component labels are < h*w).
+    """
+    m = vals.shape[0]
+    nr = (m + 127) // 128
+    t2 = jnp.pad(vals, (0, nr * 128 - m)).reshape(nr, 128)
+    row = idx // 128
+    onehot = (
+        row[:, None] == jnp.arange(nr, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    rows = onehot @ t2  # (P, 128)
+    lanesel = (idx % 128)[:, None] == jnp.arange(128, dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(lanesel, rows, 0.0), axis=1)
+
+
 @jax.jit
 def label_components(mask: jnp.ndarray) -> jnp.ndarray:
     """4-connected component labels for a boolean mask.
@@ -62,6 +82,15 @@ def label_components(mask: jnp.ndarray) -> jnp.ndarray:
         ).reshape(-1)
         return jnp.where(mask_flat, jnp.minimum(lab[:n], m), big)
 
+    def compress(lab):
+        """lab <- lab[lab] via the one-hot matmul gather (labels point to
+        strictly-smaller same-component indices, so this is standard pointer
+        doubling: reach doubles per application)."""
+        g = _gather_mm(lab.astype(jnp.float32), lab).astype(jnp.int32)
+        return jnp.where(mask_flat_s, g, lab)
+
+    mask_flat_s = jnp.concatenate([mask_flat, jnp.array([False])])
+
     def body(state):
         lab0, _ = state
         # Several cheap elementwise min-propagation rounds (pure shifts, no
@@ -73,13 +102,12 @@ def label_components(mask: jnp.ndarray) -> jnp.ndarray:
                 [m, jnp.array([n], jnp.int32)]
             )
         lab = lab_img
-        # ... then one hook + two path compressions to keep adversarial
-        # topologies (long serpentines) converging in O(log) rounds.
-        m = neighbor_min(lab)
-        tgt = jnp.where(mask_flat, lab[:n], big)
-        lab = lab.at[tgt].min(m)
-        lab = lab[lab]
-        lab = lab[lab]
+        # ... then two pointer-doubling compressions so the spatially
+        # propagated minimum teleports along label chains — adversarial
+        # serpentines converge in O(log) rounds without any scatter (the
+        # reference's CPU BFS has no TPU analogue; scatters cost ~30 ns/el
+        # on TPU, the matmul gather is ~free at this size).
+        lab = compress(compress(lab))
         return lab, jnp.any(lab != lab0)
 
     labels, _ = jax.lax.while_loop(
@@ -114,10 +142,27 @@ def make_hand_groups(depth_small: jnp.ndarray, pct_thresh):
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
 
+    # Per-root (size, sum_x, sum_y) via one-hot matmuls instead of
+    # segment_sum: TPU scatter-adds cost ~30 ns/element, while three
+    # (NR, P) @ (P, 128) one-hot contractions ride the MXU.  Exact in f32
+    # (sums < 2^24 at mipmap sizes).
     seg = jnp.clip(flat_labels, 0, n - 1)
-    sizes = jax.ops.segment_sum(ones, seg, num_segments=n)
-    sx = jax.ops.segment_sum(ones * xs, seg, num_segments=n)
-    sy = jax.ops.segment_sum(ones * ys, seg, num_segments=n)
+    nr = (n + 127) // 128
+    seg_row = seg // 128
+    seg_lane = seg % 128
+    onehot_row = (
+        seg_row[:, None] == jnp.arange(nr, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    onehot_lane = (
+        seg_lane[:, None] == jnp.arange(128, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+
+    def seg_mm(w):
+        return ((onehot_row * w[:, None]).T @ onehot_lane).reshape(-1)[:n]
+
+    sizes = seg_mm(ones)
+    sx = seg_mm(ones * xs)
+    sy = seg_mm(ones * ys)
 
     safe_sizes = jnp.where(sizes == 0, 1.0, sizes)
     cx = sx / safe_sizes

@@ -26,7 +26,7 @@ print("LEVELS", meta[3], "leaves", meta[4])
 h, w = 256, 384
 yy, xx = np.mgrid[0:h, 0:w]
 blob = ((yy - 128) ** 2 + (xx - 192) ** 2 / 2) < 100 ** 2
-d = np.full((2, h, w), 65535, np.uint16)
+d = np.full((1, h, w), 65535, np.uint16)
 d[:, blob] = (2300 + yy[blob] * 0.5).astype(np.uint16)
 d = jnp.asarray(d)
 
@@ -44,14 +44,14 @@ print(f"RESULT {(time.perf_counter() - t0) / 40 * 1e3:.2f}")
 
 
 def main():
-    variants = [""]
+    variants = sys.argv[1:] or [""]
     for v in variants:
         env = dict(os.environ)
         env["B3D_EVAL_NEUTER"] = v
         env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
         r = subprocess.run(
             [sys.executable, "-c", WORKER], env=env, capture_output=True,
-            text=True, timeout=580,
+            text=True, timeout=1200,
         )
         lines = [l for l in r.stdout.splitlines()
                  if l.startswith(("RESULT", "LEVELS"))]
