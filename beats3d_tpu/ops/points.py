@@ -82,6 +82,34 @@ def setup_depth_image_for_forest(pts, depth):
     return jnp.where(missing, jnp.uint16(MAX_UINT16), depth)
 
 
+def plane_band_depth(depth: jnp.ndarray, mat: jnp.ndarray, pp, focal,
+                     threshold) -> jnp.ndarray:
+    """Fused deproject -> plane transform -> band filter -> back to depth.
+
+    Bit-equivalent to the chain deproject_points -> transform_points ->
+    filter_points_by_plane -> remove_missing_3d_points_from_depth_image
+    (reference pipeline 3d_bz.py:133-210) for the DEPTH image it produces:
+    only the plane-space z is ever consulted, so the float4 clouds (4x
+    full-frame f32 arrays) never materialize.  z is computed with the same
+    products and additions, in the same order, as the einsum in
+    transform_points.
+
+    depth: (..., H, W) uint16 -> (..., H, W) uint16 (0 where missing or
+    at/below the plane band).
+    """
+    h, w = depth.shape[-2:]
+    x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    d = depth.astype(jnp.float32)
+    f = jnp.float32(focal)
+    px = d * (x - pp[0]) / f
+    py = d * (y - pp[1]) / f
+    m = mat.astype(jnp.float32)
+    z = ((m[2, 0] * px + m[2, 1] * py) + m[2, 2] * d) + m[2, 3]
+    keep = (depth > 0) & ~(z > -jnp.float32(threshold))
+    return jnp.where(keep, depth, jnp.uint16(0))
+
+
 def gaussian_kernel(k_size: int, sigma: float) -> np.ndarray:
     """Host-side 2D gaussian weights, normalized to sum 1 (reference
     points_ops.py:8-13; the normal-pdf prefactor cancels in normalization)."""
@@ -107,23 +135,23 @@ def gaussian_depth_filter(depth: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarra
     half = k // 2
     d = depth.astype(jnp.float32)
 
-    w0 = jnp.zeros((h, w), jnp.float32)
-    wn = jnp.zeros((h, w), jnp.float32)
-    sn = jnp.zeros((h, w), jnp.float32)
-
-    # k*k static shifts; XLA fuses these into one loop nest.
-    for dy in range(k):
-        for dx in range(k):
-            oy, ox = dy - half, dx - half
-            shifted = jnp.roll(d, shift=(-oy, -ox), axis=(0, 1))
-            yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + oy
-            xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + ox
-            inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-            wt = kernel[dy, dx]
-            is0 = shifted == 0
-            w0 = w0 + jnp.where(inb & is0, wt, 0.0)
-            wn = wn + jnp.where(inb & ~is0, wt, 0.0)
-            sn = sn + jnp.where(inb & ~is0, shifted * wt, 0.0)
+    # Three maps, one grouped XLA convolution on the MXU (the k*k tap loop
+    # cost ~1 ms/frame in vector selects): sn = conv(d masked to nonzero),
+    # wn = conv(nonzero indicator), w0 = conv(in-bounds zero indicator).
+    # Zero padding realizes the reference's skip-OOB-taps rule — an OOB tap
+    # contributes 0 to every map (points_ops.cu:326-373).
+    nz = d > 0
+    stackin = jnp.stack(
+        [jnp.where(nz, d, 0.0), nz.astype(jnp.float32),
+         (~nz).astype(jnp.float32)]
+    )[None]  # (1, 3, H, W)
+    rhs = jnp.broadcast_to(kernel, (3, 1, k, k))
+    out = jax.lax.conv_general_dilated(
+        stackin, rhs, (1, 1), [(half, half), (half, half)],
+        feature_group_count=3,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0]
+    sn, wn, w0 = out[0], out[1], out[2]
 
     safe_wn = jnp.where(wn == 0, 1.0, wn)
     mean = jnp.floor(sn / safe_wn)
@@ -170,6 +198,51 @@ def stencil_depth_image_by_group(groups_small, depth, mipmap_level: int, group):
     g_full = jnp.repeat(jnp.repeat(groups_small, f, axis=-2), f, axis=-1)
     g_full = g_full[..., : depth.shape[-2], : depth.shape[-1]]
     return jnp.where(g_full == group, depth, jnp.uint16(0))
+
+
+def crop_mm(img: jnp.ndarray, oy, ox, ch: int, cw: int) -> jnp.ndarray:
+    """Dynamic (ch, cw) crop at (oy, ox) via one-hot MXU matmuls.
+
+    Under vmap, ``lax.dynamic_slice`` with per-element starts lowers to an
+    XLA gather (~30 ns/element on TPU — 12.8 ms for 32 half-frame crops);
+    two 0/1 selection matmuls do the same copy on the MXU for ~free.
+    Exact for uint16 payloads (f32 holds integers < 2^24).  Starts must be
+    in-range (callers clip).
+    """
+    h, w = img.shape[-2:]
+    rows = (
+        (oy + jnp.arange(ch, dtype=jnp.int32))[:, None]
+        == jnp.arange(h, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    cols = (
+        jnp.arange(w, dtype=jnp.int32)[:, None]
+        == (ox + jnp.arange(cw, dtype=jnp.int32))[None, :]
+    ).astype(jnp.float32)
+    out = rows @ img.astype(jnp.float32) @ cols
+    return out.astype(img.dtype)
+
+
+def scatter_mm(canvas_fill, img: jnp.ndarray, oy, ox, hh: int,
+               ww: int) -> jnp.ndarray:
+    """Place (ch, cw) ``img`` into an (hh, ww) canvas of ``canvas_fill`` at
+    dynamic (oy, ox) — the inverse of :func:`crop_mm`, replacing batched
+    ``dynamic_update_slice`` (which lowers to scatter under vmap)."""
+    ch, cw = img.shape[-2:]
+    rows = (
+        jnp.arange(hh, dtype=jnp.int32)[:, None]
+        == (oy + jnp.arange(ch, dtype=jnp.int32))[None, :]
+    )
+    cols = (
+        (ox + jnp.arange(cw, dtype=jnp.int32))[:, None]
+        == jnp.arange(ww, dtype=jnp.int32)[None, :]
+    )
+    out = rows.astype(jnp.float32) @ img.astype(jnp.float32) @ cols.astype(
+        jnp.float32
+    )
+    inside = (
+        jnp.any(rows, axis=1)[:, None] & jnp.any(cols, axis=0)[None, :]
+    )
+    return jnp.where(inside, out.astype(img.dtype), canvas_fill)
 
 
 def flip_x(img: jnp.ndarray) -> jnp.ndarray:

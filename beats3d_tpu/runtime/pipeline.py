@@ -102,10 +102,9 @@ def _preproc_front(raw_depth, plane_mat, pp, focal_x, gauss_kernel,
                    plane_z_threshold, group_min_size, cfg: PipelineConfig):
     """Preprocess one frame up to grouping: filtered+smoothed depth, grown
     group image, group info."""
-    pts = points.deproject_points(raw_depth, pp, focal_x)
-    q = points.transform_points(pts, plane_mat)
-    qf = points.filter_points_by_plane(q, plane_z_threshold)
-    depth1 = points.remove_missing_3d_points_from_depth_image(qf, raw_depth)
+    depth1 = points.plane_band_depth(
+        raw_depth, plane_mat, pp, focal_x, plane_z_threshold
+    )
     depth1 = points.gaussian_depth_filter(depth1, gauss_kernel)
 
     small = points.shrink_image(depth1, cfg.depth_mm_level)
@@ -135,16 +134,12 @@ def _stencil_crops(depth1, grown, oys, oxs, cfg: PipelineConfig, h, w):
     bit-identical to cropping _full_stencils at the same origins."""
     f = 1 << cfg.depth_mm_level
     ch, cw = cfg.crop_h, cfg.crop_w
-    d_r = jax.lax.dynamic_slice(depth1, (oys[0], oxs[0]), (ch, cw))
-    g_r = jax.lax.dynamic_slice(
-        grown, (oys[0] // f, oxs[0] // f), (ch // f, cw // f)
-    )
+    d_r = points.crop_mm(depth1, oys[0], oxs[0], ch, cw)
+    g_r = points.crop_mm(grown, oys[0] // f, oxs[0] // f, ch // f, cw // f)
     s_r = points.stencil_depth_image_by_group(g_r, d_r, cfg.depth_mm_level, 1)
     x0u = w - cw - oxs[1]
-    d_l = jax.lax.dynamic_slice(depth1, (oys[1], x0u), (ch, cw))
-    g_l = jax.lax.dynamic_slice(
-        grown, (oys[1] // f, x0u // f), (ch // f, cw // f)
-    )
+    d_l = points.crop_mm(depth1, oys[1], x0u, ch, cw)
+    g_l = points.crop_mm(grown, oys[1] // f, x0u // f, ch // f, cw // f)
     s_l = points.flip_x(
         points.stencil_depth_image_by_group(g_l, d_l, cfg.depth_mm_level, 2)
     )
@@ -494,8 +489,9 @@ def frame_step_batched(
         )
 
         def scatter(lci, oy, ox, mirrored):
-            canvas = jnp.full((hl, wl), 65535, lci.dtype)
-            out = jax.lax.dynamic_update_slice(canvas, lci, (oy // r, ox // r))
+            out = points.scatter_mm(
+                jnp.asarray(65535, lci.dtype), lci, oy // r, ox // r, hl, wl
+            )
             return points.flip_x(out) if mirrored else out
 
         labels_screen = jnp.stack([

@@ -42,10 +42,7 @@ def main():
     gk = pipe.gauss_kernel
 
     def preproc(raw):
-        pts = points.deproject_points(raw, pp, fx)
-        q = points.transform_points(pts, plane_mat)
-        qf = points.filter_points_by_plane(q, pipe._zthr)
-        d1 = points.remove_missing_3d_points_from_depth_image(qf, raw)
+        d1 = points.plane_band_depth(raw, plane_mat, pp, fx, pipe._zthr)
         return points.gaussian_depth_filter(d1, gk)
 
     s_pre = jax.jit(lambda: jax.vmap(preproc)(frames))
@@ -66,17 +63,26 @@ def main():
     s_grow = jax.jit(lambda: jax.vmap(points.grow_groups)(g))
     grown = s_grow()
 
-    def tail(d, gr):
-        oys, oxs, too_big = _crop_origins(gr, cfg, h, w)
-        return _stencil_crops(d, gr, oys, oxs, cfg, h, w)
+    def origins(gr):
+        return _crop_origins(gr, cfg, h, w)
 
-    s_tail = jax.jit(lambda: jax.vmap(tail)(d1, grown))
+    s_org = jax.jit(lambda: jax.vmap(origins)(grown))
+    oys, oxs, _ = s_org()
+
+    def crops_only(d, gr, oy, ox):
+        return _stencil_crops(d, gr, oy, ox, cfg, h, w)
+
+    s_crp = jax.jit(lambda: jax.vmap(crops_only)(d1, grown, oys, oxs))
+    s_crp_scan = jax.jit(lambda: jax.lax.map(
+        lambda a: crops_only(*a), (d1, grown, oys, oxs)))
 
     print(f"preproc x{B}   : {timeit(s_pre):7.2f} ms")
     print(f"shrink        : {timeit(s_shr):7.2f} ms")
     print(f"components    : {timeit(s_cmp):7.2f} ms")
     print(f"grow          : {timeit(s_grow):7.2f} ms")
-    print(f"origins+crops : {timeit(s_tail):7.2f} ms")
+    print(f"origins       : {timeit(s_org):7.2f} ms")
+    print(f"crops (vmap)  : {timeit(s_crp):7.2f} ms")
+    print(f"crops (scan)  : {timeit(s_crp_scan):7.2f} ms")
 
 
 if __name__ == "__main__":
