@@ -485,6 +485,11 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
         def gather_image_multi(probes):
             """Fast static-window gather with a single self-contained exact
             fallback gate (see gather_probes_fast/exact)."""
+            if "nofast" in _NEUTER:
+                # exact-only mode (correct): skips the fast path's 2 serial
+                # cross-lane reduces per probe, betting on the blocked
+                # sweep being as cheap for typical spans.
+                return gather_probes_exact(probes)
             vals, over = gather_probes_fast(probes)
             if "noexact" in _NEUTER:
                 return vals
