@@ -347,6 +347,7 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
 
             accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
             over = jnp.zeros((SUB, LANE), jnp.bool_)
+            overs = []
             for p, (srow, chunk, lane_idx, oob, active) in enumerate(preps):
                 sb = bases[2 * p]
                 cb = jnp.clip(bases[2 * p + 1], 0, n_chunks_img - KC)
@@ -373,15 +374,17 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                     sel = (srow == s_val) & (chunk == cix)
                     v = jnp.take_along_axis(op, lane_idx, axis=1)
                     accs[p] = jnp.where(sel, v, accs[p])
-                over |= active & (
+                over_p = active & (
                     (srow < lo_row) | (srow > hi_row)
                     | (chunk < cb) | (chunk > cb + (KC - 1))
                 )
+                overs.append(over_p)
+                over |= over_p
 
             vals = tuple(
                 jnp.where(p[3], MAX_UINT16, v) for v, p in zip(accs, preps)
             )
-            return vals, over
+            return vals, over, overs
 
         def gather_probes_exact(probes, init_vals=None):
             """Exact (unconditionally dynamic) gather: one (row, chunk) sweep
@@ -396,11 +399,15 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                 serve = active & ~oob
                 yc = jnp.clip(yy, 0, h - 1)
                 xc = jnp.clip(xx, 0, w - 1)
-                yc = jnp.where(serve, yc, y_px)
-                xc = jnp.where(serve, xc, x_px)
                 chunk = xc // LANE
                 lane_idx = xc - chunk * LANE
                 srow = yc + APRON_T - r * ii
+                # non-served lanes are POISONED out of both the sweep range
+                # (min bounds skip `big`) and the serves (no candidate ever
+                # equals `big`), so a sparse set of stragglers costs only
+                # its own span — not the union with the tile's base rows.
+                srow = jnp.where(serve, srow, big)
+                chunk = jnp.where(serve, chunk, big)
                 return srow, chunk, lane_idx, oob, serve
 
             preps = [prep(yy, xx, act) for (yy, xx, act) in probes]
@@ -409,6 +416,8 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
             # loop iterations and window loads than per-probe sweeps at the
             # same per-lane shuffle count (the divergent-level fallback was
             # ~70% of flagship eval time, scripts/profile_attrib.py).
+            # Bounds consider SERVED lanes only on both sides; the caller's
+            # gate guarantees at least one served lane exists.
             act_srows = [
                 jnp.where(active, srow, -1)
                 for (srow, chunk, lane_idx, oob, active) in preps
@@ -427,10 +436,10 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
             for (srow, chunk, lane_idx, oob, active) in preps[1:]:
                 n_srow = jnp.minimum(n_srow, srow)
                 n_chunk = jnp.minimum(n_chunk, chunk)
-            s_lo = jnp.min(n_srow)
-            s_hi = jnp.maximum(jnp.max(m_srow), s_lo)
-            c_lo = jnp.min(n_chunk)
-            c_hi = jnp.maximum(jnp.max(m_chunk), c_lo)
+            s_hi = jnp.max(m_srow)
+            s_lo = jnp.minimum(jnp.min(n_srow), jnp.maximum(s_hi, 0))
+            c_hi = jnp.max(m_chunk)
+            c_lo = jnp.minimum(jnp.min(n_chunk), jnp.maximum(c_hi, 0))
             nc = c_hi - c_lo + 1
             # BLOCKED iteration: one dynamic-trip iteration per aligned
             # 8-PLANE-ROW block (8*r candidate window starts), with the
@@ -490,12 +499,19 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                 # cross-lane reduces per probe, betting on the blocked
                 # sweep being as cheap for typical spans.
                 return gather_probes_exact(probes)
-            vals, over = gather_probes_fast(probes)
+            vals, over, overs = gather_probes_fast(probes)
             if "noexact" in _NEUTER:
                 return vals
 
             def cleanup(_, vals_in):
-                return gather_probes_exact(probes)
+                # NARROWED cleanup: each probe re-gathers only the lanes the
+                # static windows could not serve, so the sweep bounds cover
+                # the stragglers' span, not every active lane's.
+                probes2 = [
+                    (yy, xx, act & overs[p])
+                    for p, (yy, xx, act) in enumerate(probes)
+                ]
+                return gather_probes_exact(probes2, init_vals=list(vals_in))
 
             return jax.lax.fori_loop(
                 0, jnp.any(over).astype(jnp.int32), cleanup, vals

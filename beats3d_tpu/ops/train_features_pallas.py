@@ -79,7 +79,7 @@ def _make_kernel(p_total, h, w, nty, ntx, exact):
             if exact:
                 du, dv = gather_exact(probes)
             else:
-                (du, dv), over = gather_fast(probes)
+                (du, dv), over, _ = gather_fast(probes)
                 over_any |= over
             f = du.astype(jnp.float32) - dv.astype(jnp.float32)
             f = jnp.where(zc, 0.0, f)
