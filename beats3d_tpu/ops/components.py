@@ -41,7 +41,14 @@ def _gather_mm(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     onehot = (
         row[:, None] == jnp.arange(nr, dtype=jnp.int32)[None, :]
     ).astype(jnp.float32)
-    rows = onehot @ t2  # (P, 128)
+    # HIGHEST: the payload values are label indices up to h*w (> 256); the
+    # TPU MXU's default precision rounds f32 inputs to bf16, which corrupts
+    # them and silently MERGES components (caught by the on-chip e2e drive;
+    # CPU tests run f32 and cannot see it).  The matmul is tiny, the
+    # multi-pass cost is noise.
+    rows = jax.lax.dot(
+        onehot, t2, precision=jax.lax.Precision.HIGHEST
+    )  # (P, 128)
     lanesel = (idx % 128)[:, None] == jnp.arange(128, dtype=jnp.int32)[None, :]
     return jnp.sum(jnp.where(lanesel, rows, 0.0), axis=1)
 
@@ -158,7 +165,12 @@ def make_hand_groups(depth_small: jnp.ndarray, pct_thresh):
     ).astype(jnp.float32)
 
     def seg_mm(w):
-        return ((onehot_row * w[:, None]).T @ onehot_lane).reshape(-1)[:n]
+        # HIGHEST for the same reason as _gather_mm: weighted one-hot rows
+        # carry coordinate products that must not be rounded to bf16.
+        return jax.lax.dot(
+            (onehot_row * w[:, None]).T, onehot_lane,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1)[:n]
 
     sizes = seg_mm(ones)
     sx = seg_mm(ones * xs)

@@ -72,7 +72,10 @@ def _build_candidate(r: jnp.ndarray, pts_flat: jnp.ndarray, num_px: int):
     y_axis = norm(jnp.cross(z_axis, x_axis))
 
     rot = jnp.stack([x_axis, y_axis, z_axis])  # rows = axes
-    t = -rot @ p0
+    # HIGHEST: p0 components reach 65535; under vmap this is a batched
+    # matmul whose default bf16 input rounding would shift every candidate
+    # plane's translation by up to ~100 depth units.
+    t = -jax.lax.dot(rot, p0, precision=jax.lax.Precision.HIGHEST)
     mat = jnp.concatenate(
         [jnp.concatenate([rot, t[:, None]], axis=1),
          jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)],
@@ -112,7 +115,15 @@ def count_inliers(pts: jnp.ndarray, candidates: jnp.ndarray, threshold,
     zrow_c = zrow_p.reshape(-1, chunk, 4)
 
     def per_chunk(zr):
-        z = pts_flat[:, :3] @ zr[:, :3].T + zr[:, 3][None, :]  # (P, chunk)
+        # HIGHEST: point coords reach 65535 while the inlier threshold is 40
+        # — the TPU MXU's default bf16 input rounding injects O(100)-unit z
+        # errors that visibly tilt the fitted plane (caught by the on-chip
+        # e2e drive; CPU runs f32 and cannot see it).  Calibration-only, so
+        # the multi-pass cost is irrelevant.
+        z = jax.lax.dot(
+            pts_flat[:, :3], zr[:, :3].T,
+            precision=jax.lax.Precision.HIGHEST,
+        ) + zr[:, 3][None, :]  # (P, chunk)
         inl = (jnp.abs(z) < threshold) & valid[:, None]
         return jnp.sum(inl, axis=0, dtype=jnp.int32)
 
@@ -126,12 +137,17 @@ def _recenter(mat: jnp.ndarray) -> jnp.ndarray:
     p0 = mat[2, 2]
     p1 = mat[2, 3]
     t = -p1 / p0  # depth at which the (0,0,1) ray meets the plane
-    c = mat @ jnp.array([0.0, 0.0, 1.0, 0.0], jnp.float32) * t + mat[:, 3]
+    # HIGHEST on both: translations/point values up to 65535 must not round
+    # to bf16 (see count_inliers).
+    c = jax.lax.dot(
+        mat, jnp.array([0.0, 0.0, 1.0, 0.0], jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ) * t + mat[:, 3]
     shift = jnp.array(
         [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], jnp.float32
     )
     shift = shift.at[0, 3].set(-c[0]).at[1, 3].set(-c[1])
-    return shift @ mat
+    return jax.lax.dot(shift, mat, precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("num_candidates",))

@@ -59,7 +59,12 @@ def transform_points(pts: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
     (new_p = M @ p), which is what the reference's glm transpose dance
     amounts to for the numpy matrices the host passes in.
     """
-    new = jnp.einsum("ij,...j->...i", mat.astype(jnp.float32), pts)
+    # HIGHEST: point coordinates reach 65535; the MXU's default bf16 input
+    # rounding would move them by up to +-128.
+    new = jnp.einsum(
+        "ij,...j->...i", mat.astype(jnp.float32), pts,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     keep = pts[..., 3:4] == 1.0
     return jnp.where(keep, new, pts)
 
@@ -150,6 +155,9 @@ def gaussian_depth_filter(depth: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarra
         stackin, rhs, (1, 1), [(half, half), (half, half)],
         feature_group_count=3,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # HIGHEST: depth payloads reach 65535; default TPU conv precision
+        # rounds inputs to bf16 (up to +-128 depth error).
+        precision=jax.lax.Precision.HIGHEST,
     )[0]
     sn, wn, w0 = out[0], out[1], out[2]
 
@@ -200,6 +208,32 @@ def stencil_depth_image_by_group(groups_small, depth, mipmap_level: int, group):
     return jnp.where(g_full == group, depth, jnp.uint16(0))
 
 
+def _select_mm(img: jnp.ndarray, rows: jnp.ndarray,
+               cols: jnp.ndarray) -> jnp.ndarray:
+    """``rows @ img @ cols`` for 0/1 selection matrices, EXACT for u16/i32
+    payloads on the TPU MXU.
+
+    The MXU's default precision rounds f32 inputs to bf16, so integer
+    payloads > 256 (depth values, label sentinels) would be corrupted by up
+    to +-128.  Splitting into hi/lo bytes keeps every matmul input < 256
+    (bf16-exact) at full default-precision MXU speed; each output element is
+    one selected input element, so the f32 recombination is exact.
+    Payloads wider than 16 bits fall back to a HIGHEST-precision chain."""
+    if (not jnp.issubdtype(img.dtype, jnp.integer)
+            or img.dtype.itemsize > 2):
+        return jax.lax.dot(
+            jax.lax.dot(rows, img.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST),
+            cols, precision=jax.lax.Precision.HIGHEST,
+        )
+    v = img.astype(jnp.int32)
+    hi = (v >> 8).astype(jnp.float32)
+    lo = (v & 0xFF).astype(jnp.float32)
+    out_hi = rows @ hi @ cols
+    out_lo = rows @ lo @ cols
+    return out_hi * 256.0 + out_lo
+
+
 def crop_mm(img: jnp.ndarray, oy, ox, ch: int, cw: int) -> jnp.ndarray:
     """Dynamic (ch, cw) crop at (oy, ox) via one-hot MXU matmuls.
 
@@ -218,7 +252,7 @@ def crop_mm(img: jnp.ndarray, oy, ox, ch: int, cw: int) -> jnp.ndarray:
         jnp.arange(w, dtype=jnp.int32)[:, None]
         == (ox + jnp.arange(cw, dtype=jnp.int32))[None, :]
     ).astype(jnp.float32)
-    out = rows @ img.astype(jnp.float32) @ cols
+    out = _select_mm(img, rows, cols)
     return out.astype(img.dtype)
 
 
@@ -236,9 +270,7 @@ def scatter_mm(canvas_fill, img: jnp.ndarray, oy, ox, hh: int,
         (ox + jnp.arange(cw, dtype=jnp.int32))[:, None]
         == jnp.arange(ww, dtype=jnp.int32)[None, :]
     )
-    out = rows.astype(jnp.float32) @ img.astype(jnp.float32) @ cols.astype(
-        jnp.float32
-    )
+    out = _select_mm(img, rows.astype(jnp.float32), cols.astype(jnp.float32))
     inside = (
         jnp.any(rows, axis=1)[:, None] & jnp.any(cols, axis=0)[None, :]
     )

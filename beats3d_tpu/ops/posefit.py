@@ -81,7 +81,12 @@ def cylinder_surface(n_theta: int = 96, n_len: int = 96) -> np.ndarray:
 def render_cylinder_depth(surface, obj_tform, pp, focal, out_shape_ref):
     """Transform the unit-cylinder samples into camera space and splat a
     depth image shaped like ``out_shape_ref``."""
-    cam = jnp.einsum("ij,nj->ni", obj_tform, surface)
+    # HIGHEST: camera-space coords reach thousands of depth units; default
+    # MXU precision rounds inputs to bf16.
+    cam = jnp.einsum(
+        "ij,nj->ni", obj_tform, surface,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     cam = cam.at[:, 3].set(1.0)
     h, w = out_shape_ref.shape
     u, v, valid = render.project_points(cam, pp, focal)

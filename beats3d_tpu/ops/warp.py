@@ -47,7 +47,12 @@ def warp_perspective(
     uu = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
     vv = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
     ones = jnp.ones_like(uu)
-    p = jnp.stack([uu, vv, ones], axis=-1) @ h_inv.T  # (out_h, out_w, 3)
+    # HIGHEST: pixel coords reach 848 (> bf16's 256 exact-integer range).
+    p = jax.lax.dot_general(
+        jnp.stack([uu, vv, ones], axis=-1), h_inv.T,
+        (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (out_h, out_w, 3)
     x = p[..., 0] / p[..., 2]
     y = p[..., 1] / p[..., 2]
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.layered import LayeredDecisionForest, run_layered
-from ..ops import components, meanshift, points
+from ..ops import components, meanshift, points, preproc_pallas
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +70,11 @@ class PipelineConfig:
     # case.  guard_spread <= 0 disables the guard.
     guard_spread: int = 1500
     guard_tile_frac: float = 0.25
+    # Fuse plane-band + gaussian into one Pallas pass (ops.preproc_pallas).
+    # Default on when running on TPU (set by FramePipeline); the XLA chain
+    # is kept for CPU/tests.  Both eval backends share whichever preproc is
+    # selected, so Pallas-vs-XLA eval parity checks see identical inputs.
+    preproc_pallas: bool = False
 
 
 def _fingertip_heights(
@@ -93,23 +98,48 @@ def _fingertip_heights(
     X = z * (pxc.astype(jnp.float32) - pp[0]) / focal_x
     Y = z * (pyc.astype(jnp.float32) - pp[1]) / focal_y
     pt = jnp.stack([X, Y, z, jnp.ones_like(z)], axis=-1)  # (F, 4)
-    ptp = pt @ plane_mat.T
+    # HIGHEST: fingertip coords reach 65535 — default MXU precision would
+    # round them to bf16 and corrupt heights by up to +-128 (0.1 mm units).
+    ptp = jax.lax.dot(
+        pt, plane_mat.T, precision=jax.lax.Precision.HIGHEST
+    )
     heights = -ptp[:, 2]
     return heights, valid, jnp.stack([px, py], axis=-1)
+
+
+def _band_gauss(raw_depth, plane_mat, pp, focal_x, gauss_kernel,
+                plane_z_threshold, cfg: PipelineConfig):
+    """Plane-band filter + missing-aware gaussian smoothing.  One fused
+    Pallas pass on TPU (cfg.preproc_pallas); the XLA chain elsewhere.
+    Accepts (H, W) or, on the Pallas path, (B, H, W)."""
+    if cfg.preproc_pallas:
+        return preproc_pallas.plane_band_gauss(
+            raw_depth, plane_mat, pp, focal_x, plane_z_threshold,
+            ksize=cfg.gauss_kernel_size, sigma=cfg.gauss_sigma,
+        )
+    depth1 = points.plane_band_depth(
+        raw_depth, plane_mat, pp, focal_x, plane_z_threshold
+    )
+    return points.gaussian_depth_filter(depth1, gauss_kernel)
+
+
+def _front_rest(depth1, group_min_size, cfg: PipelineConfig):
+    """The grouping half of the front: shrink -> components -> grow."""
+    small = points.shrink_image(depth1, cfg.depth_mm_level)
+    groups_small, g_info = components.make_hand_groups(small, group_min_size)
+    grown = points.grow_groups(groups_small)
+    return grown, g_info, groups_small
 
 
 def _preproc_front(raw_depth, plane_mat, pp, focal_x, gauss_kernel,
                    plane_z_threshold, group_min_size, cfg: PipelineConfig):
     """Preprocess one frame up to grouping: filtered+smoothed depth, grown
     group image, group info."""
-    depth1 = points.plane_band_depth(
-        raw_depth, plane_mat, pp, focal_x, plane_z_threshold
+    depth1 = _band_gauss(
+        raw_depth, plane_mat, pp, focal_x, gauss_kernel,
+        plane_z_threshold, cfg,
     )
-    depth1 = points.gaussian_depth_filter(depth1, gauss_kernel)
-
-    small = points.shrink_image(depth1, cfg.depth_mm_level)
-    groups_small, g_info = components.make_hand_groups(small, group_min_size)
-    grown = points.grow_groups(groups_small)
+    grown, g_info, groups_small = _front_rest(depth1, group_min_size, cfg)
     return depth1, grown, g_info, groups_small
 
 
@@ -418,11 +448,15 @@ def frame_step_batched(
     ch, cw = cfgv.crop_h, cfgv.crop_w
     use_crop = ch < h and cw < w and ch % 16 == 0 and cw % 16 == 0
 
-    def front(raw):
-        depth1, grown, g_info, _ = _preproc_front(
-            raw, plane_mat, pp, focal_x, gauss_kernel,
-            plane_z_threshold, group_min_size, cfgv,
-        )
+    def front(raw, d1):
+        if d1 is None:
+            depth1 = _band_gauss(
+                raw, plane_mat, pp, focal_x, gauss_kernel,
+                plane_z_threshold, cfgv,
+            )
+        else:
+            depth1 = d1
+        grown, g_info, _ = _front_rest(depth1, group_min_size, cfgv)
         if use_crop:
             oys, oxs, too_big = _crop_origins(grown, cfgv, h, w)
             crops = _stencil_crops(depth1, grown, oys, oxs, cfgv, h, w)
@@ -432,9 +466,20 @@ def frame_step_batched(
             crops = jnp.zeros((2, 1, 1), jnp.uint16)  # unused
         return depth1, grown, crops, g_info, oys, oxs, too_big
 
-    depth1, grown, crops, g_info, oys, oxs, too_big = jax.vmap(front)(
-        raw_depth
-    )
+    if cfgv.preproc_pallas:
+        # One Pallas dispatch over the whole batch (grid over frames)
+        # instead of a vmapped per-frame call.
+        d1_all = _band_gauss(
+            raw_depth, plane_mat, pp, focal_x, gauss_kernel,
+            plane_z_threshold, cfgv,
+        )
+        depth1, grown, crops, g_info, oys, oxs, too_big = jax.vmap(
+            lambda r, d: front(r, d)
+        )(raw_depth, d1_all)
+    else:
+        depth1, grown, crops, g_info, oys, oxs, too_big = jax.vmap(
+            lambda r: front(r, None)
+        )(raw_depth)
 
     scale_factor = jnp.float32(w) / jnp.float32(cfgv.train_dim_x)
 
@@ -561,8 +606,10 @@ class FramePipeline:
     ):
         self.model = model
         self.intrin = intrinsics
+        on_tpu = jax.devices()[0].platform == "tpu"
         self.cfg = cfg or PipelineConfig(
-            height=intrinsics.height, width=intrinsics.width
+            height=intrinsics.height, width=intrinsics.width,
+            preproc_pallas=on_tpu,
         )
         if mean_shift_variances is None:
             # 3d_bz.py:108-110 — class 1 (hand) wide, fingertips tight.

@@ -66,15 +66,23 @@ def main():
         scene = jnp.asarray(_scene(intrin))
         pipe_p = FramePipeline(model, intrin, backend="pallas")
         pipe_x = FramePipeline(model, intrin, backend="xla")
-        lp = np.asarray(pipe_p(scene, plane_mat)["labels"])
+        op = pipe_p(scene, plane_mat)
+        lp = np.asarray(op["labels"])
         lx = np.asarray(pipe_x(scene, plane_mat)["labels"])
         mism = int((lp != lx).sum())
-        ok = mism == 0
+        # Both blobs must come out as separate hand groups: catches on-chip
+        # numeric corruption (e.g. the MXU's default bf16 input rounding
+        # merging components) that backend-vs-backend parity cannot see
+        # because both backends share the front.
+        g = np.asarray(op["g_info"])
+        groups_ok = bool(g[0, 0] > 0 and g[1, 0] > 0)
+        ok = mism == 0 and groups_ok
         print(json.dumps({
             "metric": "pallas_xla_label_parity",
             "value": 1.0 if ok else 0.0,
             "unit": "bool",
             "mismatched_pixels": mism,
+            "both_hands_found": groups_ok,
             "platform": jax.devices()[0].platform,
         }))
         sys.exit(0 if ok else 1)
