@@ -66,6 +66,16 @@ _NEUTER = tuple(
     s for s in os.environ.get("B3D_EVAL_NEUTER", "").split(",") if s
 )
 
+# Shared-base fast path (EXPERIMENT, off): ONE union (row, chunk) window
+# base for all 2T probes of a level instead of per-probe bases — 2 serial
+# cross-lane reduces per LEVEL instead of per probe, at the cost of wider
+# static windows (4 image rows x KC chunks) and a higher unserved-lane rate
+# feeding the exact cleanup.  End-to-end it LOSES: bench.py batched
+# throughput 392 fps shared vs 564 fps per-probe (the union base serves
+# fewer lanes, and the extra exact-cleanup sweeps cost more than the saved
+# reduces).  Kept behind the flag for re-testing if window geometry changes.
+_SHARED_BASE = os.environ.get("B3D_EVAL_SHARED", "0") == "1"
+
 
 NCOMP = 7  # per-level table entries: ux, uy, vx, vy, th, lr, pdf
 
@@ -299,6 +309,71 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
             ]
             return pltpu.roll(blk, -off, 0)[0:SUB]
 
+        def _fast_shared(preps):
+            """Shared-base static windows: ONE (row, chunk) base from the
+            union of every probe's serve-masked minima — 2 cross-lane
+            reduces per call instead of 2 per probe — serving all probes
+            from 4 image rows x KC chunks.  Lanes outside go to ``over``
+            for the caller's exact cleanup (see _SHARED_BASE)."""
+            n_srow = None
+            n_chunk = None
+            for (srow, chunk, lane_idx, oob, active) in preps:
+                rs = row_min(srow, active)
+                rc = row_min(chunk, active)
+                n_srow = rs if n_srow is None else jnp.minimum(n_srow, rs)
+                n_chunk = rc if n_chunk is None else jnp.minimum(n_chunk, rc)
+            sb = jnp.min(n_srow)
+            cb = jnp.clip(jnp.min(n_chunk), 0, n_chunks_img - KC)
+
+            # candidate rows: 4 consecutive padded image rows from the base
+            if r == 2:
+                half = jnp.clip(sb // 2, 0, max_half - 1)
+                rows = []
+                for dc in range(KC):
+                    for dh in range(2):
+                        rows.append(
+                            (2 * (half + dh),
+                             window(even_ref, half + dh, cb + dc))
+                        )
+                        rows.append(
+                            (2 * (half + dh) + 1,
+                             window(odd_ref, half + dh, cb + dc))
+                        )
+                lo_row = 2 * half
+                hi_row = 2 * half + 3
+            else:
+                s0 = jnp.clip(sb, 0, max_half - 3)
+                rows = []
+                for dc in range(KC):
+                    for dh in range(4):
+                        rows.append(
+                            (s0 + dh, window(even_ref, s0 + dh, cb + dc))
+                        )
+                lo_row = s0
+                hi_row = s0 + 3
+            kpc = len(rows) // KC  # candidates per chunk
+
+            accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
+            over = jnp.zeros((SUB, LANE), jnp.bool_)
+            overs = []
+            for p, (srow, chunk, lane_idx, oob, active) in enumerate(preps):
+                for k, (s_val, op) in enumerate(rows):
+                    cix = cb + k // kpc
+                    sel = (srow == s_val) & (chunk == cix)
+                    v = jnp.take_along_axis(op, lane_idx, axis=1)
+                    accs[p] = jnp.where(sel, v, accs[p])
+                over_p = active & (
+                    (srow < lo_row) | (srow > hi_row)
+                    | (chunk < cb) | (chunk > cb + (KC - 1))
+                )
+                overs.append(over_p)
+                over |= over_p
+
+            vals = tuple(
+                jnp.where(p[3], MAX_UINT16, v) for v, p in zip(accs, preps)
+            )
+            return vals, over, overs
+
         def gather_probes_fast(probes):
             """All probes' image values via STATIC windows only: 2 padded
             rows x KC chunks anchored at each probe's (min row, min chunk) —
@@ -326,6 +401,9 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                 return srow, chunk, lane_idx, oob, serve
 
             preps = [prep(yy, xx, act) for (yy, xx, act) in probes]
+
+            if _SHARED_BASE:
+                return _fast_shared(preps)
 
             # Base from ACTIVE lanes only (inactive lanes sit at the tile's
             # own rows and would drag the window off-target).  All probes'
