@@ -76,6 +76,17 @@ _NEUTER = tuple(
 # reduces).  Kept behind the flag for re-testing if window geometry changes.
 _SHARED_BASE = os.environ.get("B3D_EVAL_SHARED", "0") == "1"
 
+# Static-window geometry of the per-probe fast path: _FAST_ROWS image rows
+# x _FAST_KC lane chunks.  A (SUB, LANE) label tile's own probe targets span
+# 2*SUB image rows x 2 chunks even with CONSTANT offsets, so the minimal
+# 2x2 window has ZERO slack: any within-tile offset variation (depth slope,
+# chunk-boundary straddle) spills lanes into the exact-cleanup sweep.
+# Wider windows trade unconditional rolls+shuffles for fewer dynamic-trip
+# cleanup iterations; the best setting is model-dependent (coherent trained
+# forests benefit, adversarial random ones don't) — benchmarked defaults.
+_FAST_ROWS = int(os.environ.get("B3D_EVAL_ROWS", "2"))
+_FAST_KC = int(os.environ.get("B3D_EVAL_KC", "2"))
+
 
 NCOMP = 7  # per-level table entries: ux, uy, vx, vy, th, lr, pdf
 
@@ -262,7 +273,7 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
         # fully unrolled — the common case runs with NO dynamic-trip loops
         # (Mosaic can't software-pipeline those; measured 3.5x).
         n_chunks_img = (w + LANE - 1) // LANE
-        KC = min(2, n_chunks_img)
+        KC = min(_FAST_KC, n_chunks_img)
         max_half = (h + APRON_T - 1) // r
         big = jnp.int32(1 << 29)
 
@@ -430,25 +441,34 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                 sb = bases[2 * p]
                 cb = jnp.clip(bases[2 * p + 1], 0, n_chunks_img - KC)
                 if r == 2:
-                    half = jnp.clip(sb // 2, 0, max_half)
+                    nh = _FAST_ROWS // 2  # plane rows per parity
+                    half = jnp.clip(sb // 2, 0, max_half - nh)
                     rows = []
                     for dc in range(KC):
-                        rows.append((2 * half, window(even_ref, half, cb + dc)))
-                        rows.append(
-                            (2 * half + 1, window(odd_ref, half, cb + dc))
-                        )
+                        for dh in range(nh):
+                            rows.append(
+                                (2 * (half + dh),
+                                 window(even_ref, half + dh, cb + dc))
+                            )
+                            rows.append(
+                                (2 * (half + dh) + 1,
+                                 window(odd_ref, half + dh, cb + dc))
+                            )
                     lo_row = 2 * half
-                    hi_row = 2 * half + 1
+                    hi_row = 2 * half + _FAST_ROWS - 1
                 else:
-                    s0 = jnp.clip(sb, 0, max_half - 1)
+                    s0 = jnp.clip(sb, 0, max_half - _FAST_ROWS + 1)
                     rows = []
                     for dc in range(KC):
-                        rows.append((s0, window(even_ref, s0, cb + dc)))
-                        rows.append((s0 + 1, window(even_ref, s0 + 1, cb + dc)))
+                        for dh in range(_FAST_ROWS):
+                            rows.append(
+                                (s0 + dh, window(even_ref, s0 + dh, cb + dc))
+                            )
                     lo_row = s0
-                    hi_row = s0 + 1
+                    hi_row = s0 + _FAST_ROWS - 1
+                kpc = len(rows) // KC
                 for k, (s_val, op) in enumerate(rows):
-                    cix = cb + k // 2
+                    cix = cb + k // kpc
                     sel = (srow == s_val) & (chunk == cix)
                     v = jnp.take_along_axis(op, lane_idx, axis=1)
                     accs[p] = jnp.where(sel, v, accs[p])
@@ -698,6 +718,34 @@ def _traverse_tile(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
                     chunk_bounds(flat[2 * t : 2 * t + 2]) for t in range(T)
                 ]
 
+            comp_refs = (ux_r, uy_r, vx_r, vy_r, th_r, ch_r, lf_r)
+
+            def comps_merged(t, g, active):
+                """All 7 components of node ``g`` in ONE chunk sweep — the
+                7 separate chunked_lookup fori_loops this replaces each ran
+                their own dynamic-trip loop over the same chunk range
+                (Mosaic cannot pipeline those; deep trained levels sweep
+                3-5 chunks, so the loop count dominated)."""
+                gc = jnp.where(active, g, 0)
+                chunk = gc // LANE
+                lane_idx = gc - chunk * LANE
+                c_lo, c_hi = tree_bounds[t]
+
+                def body(cix, accs):
+                    out = []
+                    for ref, acc in zip(comp_refs, accs):
+                        blk = ref[t, cix // SUB]
+                        row = pltpu.roll(blk, (SUB - cix % SUB) % SUB, 0)[0:1]
+                        op = jnp.broadcast_to(row, (SUB, LANE))
+                        val = jnp.take_along_axis(op, lane_idx, axis=1)
+                        out.append(jnp.where(chunk == cix, val, acc))
+                    return tuple(out)
+
+                init = tuple(
+                    jnp.zeros((SUB, LANE), ref.dtype) for ref in comp_refs
+                )
+                return jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
+
             actives, ths, chs, lfs, probes = [], [], [], [], []
             for t in range(T):
                 active = dones[t] == 0
@@ -705,18 +753,26 @@ def _traverse_tile(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
                     (SUB, LANE), jnp.int32
                 )
 
-                def comp(ref, _t=t, _g=g, _a=active):
-                    return chunked_lookup(
-                        lambda sc, _r=ref: _r[_t, sc],
-                        _g, _a, ref.dtype, n_nodes,
-                        bounds=tree_bounds[_t],
+                if n_nodes > LANE and tree_bounds[t] is not None:
+                    ux, uy, vx, vy, th_v, ch_v, lf_v = comps_merged(
+                        t, g, active
                     )
+                    ths.append(th_v)
+                    chs.append(ch_v)
+                    lfs.append(lf_v)
+                else:
+                    def comp(ref, _t=t, _g=g, _a=active):
+                        return chunked_lookup(
+                            lambda sc, _r=ref: _r[_t, sc],
+                            _g, _a, ref.dtype, n_nodes,
+                            bounds=tree_bounds[_t],
+                        )
 
-                ux, uy = comp(ux_r), comp(uy_r)
-                vx, vy = comp(vx_r), comp(vy_r)
-                ths.append(comp(th_r))
-                chs.append(comp(ch_r))
-                lfs.append(comp(lf_r))
+                    ux, uy = comp(ux_r), comp(uy_r)
+                    vx, vy = comp(vx_r), comp(vy_r)
+                    ths.append(comp(th_r))
+                    chs.append(comp(ch_r))
+                    lfs.append(comp(lf_r))
 
                 dux = jnp.floor(scale * ux / safe_df).astype(jnp.int32)
                 duy = jnp.floor(scale * uy / safe_df).astype(jnp.int32)
