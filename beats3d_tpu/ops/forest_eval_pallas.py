@@ -84,8 +84,12 @@ _SHARED_BASE = os.environ.get("B3D_EVAL_SHARED", "0") == "1"
 # Wider windows trade unconditional rolls+shuffles for fewer dynamic-trip
 # cleanup iterations; the best setting is model-dependent (coherent trained
 # forests benefit, adversarial random ones don't) — benchmarked defaults.
-_FAST_ROWS = int(os.environ.get("B3D_EVAL_ROWS", "2"))
-_FAST_KC = int(os.environ.get("B3D_EVAL_KC", "2"))
+_FAST_ROWS = int(os.environ.get("B3D_EVAL_ROWS", "4"))
+_FAST_KC = int(os.environ.get("B3D_EVAL_KC", "3"))
+
+# Exact-sweep iteration policy: 1 = needed-set min-extraction (default),
+# 0 = union bounding rectangle (see gather_probes_exact).
+_SWEEP_NEEDED = os.environ.get("B3D_EVAL_SWEEP", "1") == "1"
 
 
 NCOMP = 7  # per-level table entries: ux, uy, vx, vy, th, lr, pdf
@@ -516,42 +520,15 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
             # ~70% of flagship eval time, scripts/profile_attrib.py).
             # Bounds consider SERVED lanes only on both sides; the caller's
             # gate guarantees at least one served lane exists.
-            act_srows = [
-                jnp.where(active, srow, -1)
-                for (srow, chunk, lane_idx, oob, active) in preps
-            ]
-            act_chunks = [
-                jnp.where(active, chunk, -1)
-                for (srow, chunk, lane_idx, oob, active) in preps
-            ]
-            m_srow = act_srows[0]
-            m_chunk = act_chunks[0]
-            for a, b in zip(act_srows[1:], act_chunks[1:]):
-                m_srow = jnp.maximum(m_srow, a)
-                m_chunk = jnp.maximum(m_chunk, b)
-            n_srow = preps[0][0]
-            n_chunk = preps[0][1]
-            for (srow, chunk, lane_idx, oob, active) in preps[1:]:
-                n_srow = jnp.minimum(n_srow, srow)
-                n_chunk = jnp.minimum(n_chunk, chunk)
-            s_hi = jnp.max(m_srow)
-            s_lo = jnp.minimum(jnp.min(n_srow), jnp.maximum(s_hi, 0))
-            c_hi = jnp.max(m_chunk)
-            c_lo = jnp.minimum(jnp.min(n_chunk), jnp.maximum(c_hi, 0))
-            nc = c_hi - c_lo + 1
-            # BLOCKED iteration: one dynamic-trip iteration per aligned
-            # 8-PLANE-ROW block (8*r candidate window starts), with the
-            # per-candidate serves fully unrolled inside — 8-16x fewer
-            # dynamic iterations and aligned loads than per-candidate
-            # sweeps.  Mosaic cannot software-pipeline dynamic-trip loops,
-            # so iteration count, not vector-op count, dominates here.
-            b_lo = s_lo // (SUB * r)
-            b_hi = s_hi // (SUB * r)
-            total = (b_hi - b_lo + 1) * nc
+            accs0 = tuple(
+                jnp.zeros((SUB, LANE), jnp.int32)
+                if init_vals is None else init_vals[pidx]
+                for pidx in range(len(preps))
+            )
 
-            def body(i, accs):
-                b = b_lo + i // nc
-                cix = c_lo + i % nc
+            def serve_block(b, cix, accs):
+                """Serve every probe's lanes whose target falls in the
+                aligned 8-plane-row block at (b, chunk cix)."""
                 q = b * SUB  # aligned plane-row start of this block
                 col = pl.ds(pl.multiple_of(cix * LANE, LANE), LANE)
                 e16 = even_ref[0, pl.ds(pl.multiple_of(q, SUB), 2 * SUB), col]
@@ -579,12 +556,78 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                             accs[pidx] = jnp.where(sel, v, accs[pidx])
                 return tuple(accs)
 
-            accs0 = tuple(
-                jnp.zeros((SUB, LANE), jnp.int32)
-                if init_vals is None else init_vals[pidx]
-                for pidx in range(len(preps))
-            )
-            got = jax.lax.fori_loop(0, total, body, accs0)
+            if _SWEEP_NEEDED:
+                # NEEDED-SET iteration: each straggler lane names the ONE
+                # (row-block, chunk) block that serves it; iterate exactly
+                # the distinct needed block ids by repeated min-extraction.
+                # The union rectangle this replaces paid one dynamic-trip
+                # iteration per CELL of the bounding box of all stragglers
+                # — ~2.7x more iterations than blocks actually needed on
+                # the flagship workload (scripts/sim_sweep.py), plus 4
+                # cross-lane bounds reduces per call that the min-extract
+                # form does not need.
+                nbs = [
+                    jnp.where(
+                        active,
+                        (srow // (SUB * r)) * n_chunks_img + chunk,
+                        big,
+                    )
+                    for (srow, chunk, lane_idx, oob, active) in preps
+                ]
+                rem0 = jnp.concatenate(nbs, axis=0)  # (8P, LANE)
+
+                def cond(carry):
+                    return carry[0] < big
+
+                def body(carry):
+                    m, rem, accs = carry
+                    accs = serve_block(
+                        m // n_chunks_img, m % n_chunks_img, accs
+                    )
+                    rem = jnp.where(rem == m, big, rem)
+                    return (jnp.min(rem), rem, accs)
+
+                _, _, got = jax.lax.while_loop(
+                    cond, body, (jnp.min(rem0), rem0, accs0)
+                )
+            else:
+                # UNION-RECTANGLE iteration (previous policy, kept for
+                # A/B): one iteration per cell of the stragglers' bounding
+                # box.  Bounds consider SERVED lanes only on both sides.
+                act_srows = [
+                    jnp.where(active, srow, -1)
+                    for (srow, chunk, lane_idx, oob, active) in preps
+                ]
+                act_chunks = [
+                    jnp.where(active, chunk, -1)
+                    for (srow, chunk, lane_idx, oob, active) in preps
+                ]
+                m_srow = act_srows[0]
+                m_chunk = act_chunks[0]
+                for a, b in zip(act_srows[1:], act_chunks[1:]):
+                    m_srow = jnp.maximum(m_srow, a)
+                    m_chunk = jnp.maximum(m_chunk, b)
+                n_srow = preps[0][0]
+                n_chunk = preps[0][1]
+                for (srow, chunk, lane_idx, oob, active) in preps[1:]:
+                    n_srow = jnp.minimum(n_srow, srow)
+                    n_chunk = jnp.minimum(n_chunk, chunk)
+                s_hi = jnp.max(m_srow)
+                s_lo = jnp.minimum(jnp.min(n_srow), jnp.maximum(s_hi, 0))
+                c_hi = jnp.max(m_chunk)
+                c_lo = jnp.minimum(jnp.min(n_chunk), jnp.maximum(c_hi, 0))
+                nc = c_hi - c_lo + 1
+                b_lo = s_lo // (SUB * r)
+                b_hi = s_hi // (SUB * r)
+                total = (b_hi - b_lo + 1) * nc
+
+                got = jax.lax.fori_loop(
+                    0, total,
+                    lambda i, accs: serve_block(
+                        b_lo + i // nc, c_lo + i % nc, accs
+                    ),
+                    accs0,
+                )
             return tuple(
                 jnp.where(p[3], MAX_UINT16, g) for g, p in zip(got, preps)
             )

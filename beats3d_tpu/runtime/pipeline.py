@@ -59,8 +59,8 @@ class PipelineConfig:
     # the eval kernel + its padding preamble.  Falls back to the full frame
     # when a hand's bbox exceeds the window.  Must be multiples of 16; crop
     # is disabled when >= the frame dims (e.g. tiny test frames).
-    crop_h: int = 256
-    crop_w: int = 384
+    crop_h: int = 320
+    crop_w: int = 448
     # Worst-case guard: the Pallas eval kernel adapts its probe sweeps to
     # each tile's live depth range, so coherent frames are fast but an
     # adversarial incoherent frame (random depth everywhere) can cost ~100x.
@@ -498,11 +498,23 @@ def frame_step_batched(
             return eval_layers_fast(depth_imgs)
 
         def eval_layers_xla(d):
-            return run_layered(
-                d, layer_tables_xla, conditions, filter_specs=filter_specs,
+            # lax.map in sub-batches: the XLA path's per-level gathers are
+            # live all at once, so one 2B-image call at flagship depth
+            # exceeds HBM (measured 25 G at B=16, D=16); mapping bounds the
+            # live set to one sub-batch while tracing the evaluator once.
+            nb = d.shape[0]
+            grp = 4
+            run1 = lambda x: run_layered(
+                x, layer_tables_xla, conditions, filter_specs=filter_specs,
                 labels_reduce=cfgv.labels_reduce, scale_factor=scale_factor,
                 backend="xla",
             )
+            if nb % grp:
+                return run1(d)
+            out = jax.lax.map(
+                run1, d.reshape((nb // grp, grp) + d.shape[1:])
+            )
+            return out.reshape((nb,) + out.shape[2:])
 
         return jax.lax.cond(
             _incoherent(depth_imgs, r, cfgv),
