@@ -17,12 +17,13 @@ import sys
 import numpy as np
 
 CROPS_NPZ = "/tmp/sim_crops.npz"
+BENCH_CROPS_NPZ = "/tmp/sim_crops_bench.npz"
 MAX_U16 = 65535
 SUB, LANE = 8, 128
 APRON_T = 16
 
 
-def gen_crops():
+def gen_crops(bench=False):
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -31,15 +32,23 @@ def gen_crops():
         FramePipeline, _preproc_front, _crop_origins, _stencil_crops)
     from scripts.profile_flagship_batch import load_flagship, B
     from scripts.flagship_e2e import scene
+    if bench:
+        from __graft_entry__ import (
+            _synthetic_layered_model, _synthetic_frame)
 
     intrin = CameraIntrinsics.d415()
-    model = load_flagship()
+    model = (_synthetic_layered_model("/tmp/graft_model") if bench
+             else load_flagship())
     pipe = FramePipeline(model, intrin)
     cfg = pipe.cfg
     h, w = intrin.height, intrin.width
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(np.stack(
-        [scene(intrin, t, rng)[0] for t in range(B)]))
+    if bench:
+        frames = jnp.asarray(np.stack([np.asarray(_synthetic_frame(intrin))
+                                       for _ in range(1)]))
+    else:
+        frames = jnp.asarray(np.stack(
+            [scene(intrin, t, rng)[0] for t in range(B)]))
     plane_mat = jnp.asarray(np.array(
         [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2600.0], [0, 0, 0, 1]],
         np.float32))
@@ -54,8 +63,9 @@ def gen_crops():
     crops, too_big = jax.jit(lambda: jax.vmap(front)(frames))()
     crops = np.asarray(crops).reshape(-1, cfg.crop_h, cfg.crop_w)
     print("too_big any:", bool(np.asarray(too_big).any()))
-    np.savez_compressed(CROPS_NPZ, crops=crops.astype(np.uint16))
-    print("wrote", CROPS_NPZ, crops.shape)
+    path = BENCH_CROPS_NPZ if bench else CROPS_NPZ
+    np.savez_compressed(path, crops=crops.astype(np.uint16))
+    print("wrote", path, crops.shape)
 
 
 def load_model_np():
@@ -166,7 +176,7 @@ class TileStats:
         # totals[level] = dict of metric -> value
         self.totals = [dict(steps=0, calls=0, cleanups=0, iters=0,
                             iters_perprobe=0, iters_needed=0, lanes=0,
-                            unserved=0)
+                            unserved=0, needed2=0, nofast=0, nofast2=0)
                        for _ in range(nlev)]
 
     def add(self, lev, tree, active, uy, ux, vy, vx):
@@ -201,6 +211,7 @@ class TileStats:
                         continue
                     tt["calls"] += 1
                     over_spans = []
+                    all_spans = []
                     for (a, yy, xx) in tiles:
                         act = a[ty, tx]
                         yv, xv = yy[ty, tx], xx[ty, tx]
@@ -235,9 +246,17 @@ class TileStats:
                             | (chunk < cb) | (chunk > cb + self.kc - 1))
                         n_over = int(over.sum())
                         tt["unserved"] += n_over
+                        all_spans.append((srow[serve], chunk[serve]))
                         if n_over:
                             over_spans.append(
                                 (srow[over], chunk[over]))
+                    if all_spans:
+                        sa = np.concatenate([s for s, _ in all_spans])
+                        ca = np.concatenate([c for _, c in all_spans])
+                        tt["nofast"] += len(set(zip(
+                            (sa // (SUB * r)).tolist(), ca.tolist())))
+                        tt["nofast2"] += len(set(zip(
+                            (sa // (2 * SUB * r)).tolist(), ca.tolist())))
                     if over_spans:
                         tt["cleanups"] += 1
                         s_all = np.concatenate([s for s, _ in over_spans])
@@ -256,23 +275,32 @@ class TileStats:
                         need = set(zip((s_all // (SUB * r)).tolist(),
                                        c_all.tolist()))
                         tt["iters_needed"] += len(need)
+                        # candidate policy 3: 16-bit row-packed planes — one
+                        # block serves 2x the rows
+                        tt["needed2"] += len(set(zip(
+                            (s_all // (2 * SUB * r)).tolist(),
+                            c_all.tolist())))
 
     def report(self):
         print(f"{'lev':>3} {'steps':>6} {'cleanup':>7} {'iters':>7} "
-              f"{'perprobe':>8} {'needed':>7} {'lanes':>9} {'unserved':>8}")
+              f"{'perprobe':>8} {'needed':>7} {'need2':>6} {'nofast':>7} "
+              f"{'nofst2':>6} {'lanes':>9} {'unserved':>8}")
         tot = dict(steps=0, cleanups=0, iters=0, iters_perprobe=0,
-                   iters_needed=0, lanes=0, unserved=0)
+                   iters_needed=0, needed2=0, nofast=0, nofast2=0, lanes=0,
+                   unserved=0)
         for lev, tt in enumerate(self.totals):
             if tt["steps"] == 0:
                 continue
             print(f"{lev:>3} {tt['steps']:>6} {tt['cleanups']:>7} "
                   f"{tt['iters']:>7} {tt['iters_perprobe']:>8} "
-                  f"{tt['iters_needed']:>7} {tt['lanes']:>9} "
+                  f"{tt['iters_needed']:>7} {tt['needed2']:>6} "
+                  f"{tt['nofast']:>7} {tt['nofast2']:>6} {tt['lanes']:>9} "
                   f"{tt['unserved']:>8}")
             for k in tot:
                 tot[k] += tt[k]
         print(f"TOT {tot['steps']:>6} {tot['cleanups']:>7} {tot['iters']:>7} "
               f"{tot['iters_perprobe']:>8} {tot['iters_needed']:>7} "
+              f"{tot['needed2']:>6} {tot['nofast']:>7} {tot['nofast2']:>6} "
               f"{tot['lanes']:>9} {tot['unserved']:>8}")
 
 
@@ -282,13 +310,27 @@ def main():
     ap.add_argument("--rows", type=int, default=2)
     ap.add_argument("--kc", type=int, default=2)
     ap.add_argument("--crops", type=int, default=32)
+    ap.add_argument("--bench", action="store_true",
+                    help="use the bench.py synthetic adversarial model")
+    ap.add_argument("--both", action="store_true",
+                    help="collect stats for BOTH layers, not just the fine")
     args = ap.parse_args()
     if args.gen:
-        gen_crops()
+        gen_crops(bench=args.bench)
         return
 
-    layers, specs = load_model_np()
-    crops = np.load(CROPS_NPZ)["crops"][: args.crops]
+    if args.bench:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from __graft_entry__ import _synthetic_layered_model
+        model = _synthetic_layered_model("/tmp/graft_model")
+        layers = [np.asarray(l.flat, np.float32) for l in model.layers]
+        specs = tuple((l.filter_model, l.filter_model_class)
+                      for l in model.layers)
+        crops = np.load(BENCH_CROPS_NPZ)["crops"][: args.crops]
+    else:
+        layers, specs = load_model_np()
+        crops = np.load(CROPS_NPZ)["crops"][: args.crops]
     r = 2
     scale = 1.0
     h, w = crops.shape[1:]
@@ -301,7 +343,11 @@ def main():
         stats = TileStats(h, w, hl, wl, r, args.rows, args.kc, nlev_f)
         base_elig = np.ones((hl, wl), bool)
         lab0 = run_layer(crop, coarse, base_elig, r, scale,
-                         None, lambda *a: None)
+                         None, stats.add if args.both else lambda *a: None)
+        if args.both:
+            stats.analyze()
+            for lp in stats.level_probes:
+                lp.clear()
         elig1 = lab0 == specs[1][1]
         run_layer(crop, fine, elig1, r, scale, None, stats.add)
         stats.analyze()
