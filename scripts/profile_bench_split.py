@@ -40,9 +40,12 @@ def main():
     pipe = FramePipeline(model, intrin)
     cfg = pipe.cfg
     frames = jnp.asarray(np.stack([np.asarray(_synthetic_frame(intrin))] * B))
-    plane_mat = jnp.asarray(np.array(
-        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2600.0], [0, 0, 0, 1]],
-        np.float32))
+    # Calibrate like entry() does — the flat plane forces full-frame eval.
+    from beats3d_tpu.ops import plane as plane_ops
+    from beats3d_tpu.ops import points as points_ops
+    pts = jax.jit(points_ops.deproject_points)(
+        frames[0], pipe._pp, pipe._fx)
+    plane_mat = plane_ops.CalibratedPlane(25000, 40.0).make(pts)
 
     print("full batch:", timeit(pipe.batch, frames, plane_mat), "ms")
 
