@@ -54,7 +54,12 @@ def mean_shift(
     counts = jnp.sum(masks, axis=(1, 2))
     sum_x = jnp.sum(masks * xs[None], axis=(1, 2))
     sum_y = jnp.sum(masks * ys[None], axis=(1, 2))
-    means = jnp.stack([sum_x, sum_y], axis=-1) / counts[:, None]  # NaN if empty
+    # Absent classes get the NaN sentinel injected at the END (callers treat
+    # NaN as "absent", matching the reference's 0/0).  The arithmetic itself
+    # uses safe denominators so the checkify sanitizer lane (tests/
+    # test_checkify.py) only trips on *accidental* division by zero.
+    absent = counts == 0
+    means = jnp.stack([sum_x, sum_y], axis=-1) / jnp.maximum(counts, 1.0)[:, None]
 
     var2 = (variances * variances).astype(jnp.float32)
 
@@ -64,10 +69,13 @@ def mean_shift(
         dist_sq = dx * dx + dy * dy
         p = jnp.exp(-dist_sq / (2.0 * var2[:, None, None])) * masks
         denom = jnp.sum(p, axis=(1, 2))
-        shift_x = jnp.sum(p * dx, axis=(1, 2)) / denom
-        shift_y = jnp.sum(p * dy, axis=(1, 2)) / denom
+        # denom can underflow to 0 when the mean drifts far from every pixel
+        # (or the class is absent): hold position instead of producing NaN.
+        safe = jnp.where(denom == 0.0, 1.0, denom)
+        shift_x = jnp.sum(p * dx, axis=(1, 2)) / safe
+        shift_y = jnp.sum(p * dy, axis=(1, 2)) / safe
         return means + jnp.stack([shift_x, shift_y], axis=-1)
 
     if num_rounds > 1:
         means = jax.lax.fori_loop(0, num_rounds - 1, round_fn, means)
-    return means
+    return jnp.where(absent[:, None], jnp.float32(jnp.nan), means)

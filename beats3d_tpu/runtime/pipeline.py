@@ -86,12 +86,16 @@ def _fingertip_heights(
     plane space -> height = -z.  Out-of-image or NaN modes are invalid."""
     h, w = raw_depth.shape
     sel = jnp.asarray(fingertip_ids, jnp.int32) - 1  # mean-shift row per tip
-    m = means[sel]  # (F, 2) float32 (x, y)
+    # A tip id beyond the model's class count (model/config mismatch) must
+    # come out invalid, not clamp to the last class's mode (caught by the
+    # checkify sanitizer lane, tests/test_checkify.py).
+    in_range = sel < means.shape[0]
+    m = means[jnp.clip(sel, 0, means.shape[0] - 1)]  # (F, 2) float32 (x, y)
     nanmask = jnp.any(jnp.isnan(m), axis=-1)
     m_safe = jnp.where(jnp.isnan(m), -1.0, m)
     px = m_safe[:, 0].astype(jnp.int32) * cfg.labels_reduce
     py = m_safe[:, 1].astype(jnp.int32) * cfg.labels_reduce
-    valid = (~nanmask) & (px >= 0) & (py >= 0) & (px < w) & (py < h)
+    valid = in_range & (~nanmask) & (px >= 0) & (py >= 0) & (px < w) & (py < h)
     pxc = jnp.clip(px, 0, w - 1)
     pyc = jnp.clip(py, 0, h - 1)
     z = raw_depth[pyc, pxc].astype(jnp.float32)

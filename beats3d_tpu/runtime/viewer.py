@@ -60,6 +60,9 @@ _PAGE = """<!doctype html>
   <div id="sliders"></div>
   <button onclick="act('recalibrate_plane')">recalibrate plane</button>
   <button onclick="act('reset_fingers')">reset fingers</button>
+  <label>midi port: <select id="midiport"
+    onchange="fetch('/action',{method:'POST',body:JSON.stringify(
+      {action:'set_midi_port',port:+this.value})})"></select></label>
  </div>
 </div>
 <script>
@@ -85,9 +88,16 @@ function handCanvas(h,f){
   document.getElementById('hands').appendChild(c);}
  return c;
 }
+let midiInit=false;
 async function tick(){
  try{
   const s=await (await fetch('/state.json')).json();
+  if(!midiInit&&s.midi_ports){
+   const sel=document.getElementById('midiport');
+   s.midi_ports.forEach((p,i)=>{const o=document.createElement('option');
+    o.value=i;o.textContent=p;sel.appendChild(o)});
+   sel.value=s.midi_port; midiInit=true;
+  }
   if(s.labels_png) document.getElementById('labels').src=
     'data:image/png;base64,'+s.labels_png;
   document.getElementById('stats').textContent=
@@ -136,6 +146,7 @@ class ViewerState:
             "thresholds": [[0.0] * 5, [0.0] * 5],
             "note_on": [[False] * 5, [False] * 5],
             "labels_png": None,
+            "midi_ports": [], "midi_port": -1,
         }
         self._ms = deque(maxlen=100)
 
@@ -182,6 +193,10 @@ class ViewerState:
             st["heights"] = heights
             st["thresholds"] = thresholds
             st["note_on"] = note_on
+            # rtmidi port list for the selector (3d_bz.py:311-317); the sink
+            # fallback shows an empty list.
+            st["midi_ports"] = list(getattr(app.midi, "port_names", []))
+            st["midi_port"] = int(getattr(app.midi, "port", -1))
             if png is not None:
                 st["labels_png"] = png
 
@@ -238,6 +253,8 @@ class ViewerServer:
                         outer.app.recalibrate_plane()
                     elif act == "reset_fingers":
                         outer.app.reset_fingers()
+                    elif act == "set_midi_port":
+                        outer.app.midi.set_port(int(body.get("port", 0)))
                     return self._send(200, "{}")
                 self._send(404, "{}")
 

@@ -43,6 +43,18 @@ def test_viewer_state_and_tunables(tmp_path, rng):
         assert state["frame"] == 4
         assert len(state["heights"]) == 2 and len(state["heights"][0]) == 5
         assert state["labels_png"]  # a render made it through
+        # MIDI selector surface (3d_bz.py:311-317): list mirrors the Midi
+        # object (empty under the sink fallback), port index rides along.
+        assert state["midi_ports"] == app.midi.port_names
+        assert state["midi_port"] == app.midi.port
+
+        req = urllib.request.Request(
+            base + "/action",
+            data=json.dumps({"action": "set_midi_port", "port": 0}).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req)  # no rtmidi here: must be a safe no-op
+        assert app.midi.out is None
 
         req = urllib.request.Request(
             base + "/tunables",
