@@ -91,6 +91,11 @@ _FAST_KC = int(os.environ.get("B3D_EVAL_KC", "3"))
 # 0 = union bounding rectangle (see gather_probes_exact).
 _SWEEP_NEEDED = os.environ.get("B3D_EVAL_SWEEP", "1") == "1"
 
+# With tile_k > 1: 1 = one UNION chunk sweep per tree serving all K tiles
+# (fewer loops, wider ranges when the tiles diverge), 0 = per-tile sweeps
+# (narrow ranges, pure cross-tile ILP).  A/B knob for the pairing experiment.
+_UNION_COMPS = os.environ.get("B3D_EVAL_UNION", "1") == "1"
+
 
 NCOMP = 7  # per-level table entries: ux, uy, vx, vy, th, lr, pdf
 
@@ -252,10 +257,17 @@ def pack_tables_pallas(forest_flat: np.ndarray):
     return tables, (t, d_eff, c, tuple(counts), num_leaves)
 
 
-def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
-    """Per-tile coordinate grids + the two gather primitives, shared by the
-    single-forest and fused-layered kernels.  ``ty``/``tx`` are the tile's
-    row/column indices in the padded label grid (scalars).
+def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
+    """Coordinate grids + the two gather primitives for K tiles processed by
+    ONE grid step, shared by the single-forest and fused-layered kernels.
+
+    ``planes`` is a list of (even_ref, odd_ref) pairs and ``tytx`` a list of
+    (ty, tx) scalar tile indices, one per tile instance.  Probes passed to
+    the gather primitives are (yy, xx, active, inst) — ``inst`` (a python
+    int) names which tile's planes serve the probe.  Processing K tiles per
+    step lets every dynamic-trip sweep serve the UNION of the tiles' needs
+    (half the loop machinery) and fills the serial-latency bubbles of one
+    tile's reduce->load->shuffle chains with the other's independent work.
 
     ``scratch_ref`` is an optional (SUB, >=64) i32 VMEM scratch enabling the
     BATCHED scalar-min path: full cross-lane reduces cost ~200 ns each of
@@ -264,13 +276,10 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
     mins, stacked 8 rows at a time, reduced across lanes ONCE, round-tripped
     through the scratch, and read back as scalars — measured 7.5x cheaper
     (scripts/try_batchmin.py)."""
-    y0 = ty * SUB
-    x0 = tx * LANE
-
     ii = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-    y_px = (y0 + ii) * r
-    x_px = (x0 + jj) * r
+    y_pxs = [(ty * SUB + ii) * r for (ty, tx) in tytx]
+    x_pxs = [(tx * LANE + jj) * r for (ty, tx) in tytx]
 
     if True:
         # Static per-probe window geometry: 2 padded rows x KC chunks,
@@ -329,10 +338,11 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
             union of every probe's serve-masked minima — 2 cross-lane
             reduces per call instead of 2 per probe — serving all probes
             from 4 image rows x KC chunks.  Lanes outside go to ``over``
-            for the caller's exact cleanup (see _SHARED_BASE)."""
+            for the caller's exact cleanup (see _SHARED_BASE).  K=1 only."""
+            even_ref, odd_ref = planes[0]
             n_srow = None
             n_chunk = None
-            for (srow, chunk, lane_idx, oob, active) in preps:
+            for (srow, chunk, lane_idx, oob, active, _inst) in preps:
                 rs = row_min(srow, active)
                 rc = row_min(chunk, active)
                 n_srow = rs if n_srow is None else jnp.minimum(n_srow, rs)
@@ -371,7 +381,8 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
             accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
             over = jnp.zeros((SUB, LANE), jnp.bool_)
             overs = []
-            for p, (srow, chunk, lane_idx, oob, active) in enumerate(preps):
+            for p, (srow, chunk, lane_idx, oob, active, _inst) in enumerate(
+                    preps):
                 for k, (s_val, op) in enumerate(rows):
                     cix = cb + k // kpc
                     sel = (srow == s_val) & (chunk == cix)
@@ -389,33 +400,45 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
             )
             return vals, over, overs
 
+        def prep(yy, xx, active, inst, poison):
+            """Shared probe prep: window-start row / chunk / lane of each
+            lane's target, serve mask.  With ``poison``, non-served lanes
+            are pushed out of every sweep range (exact path); without, they
+            sit at the tile's own coords (fast path, keeps windows near)."""
+            oob = (yy < 0) | (yy >= h) | (xx < 0) | (xx >= w)
+            # fully-OOB lanes read the 65535 sentinel by masking and
+            # never need serving: excluding them keeps windows tight and
+            # stops image borders from forcing the exact path.
+            serve = active & ~oob
+            yc = jnp.clip(yy, 0, h - 1)
+            xc = jnp.clip(xx, 0, w - 1)
+            if poison:
+                chunk = xc // LANE
+                lane_idx = xc - chunk * LANE
+                srow = yc + APRON_T - r * ii
+                srow = jnp.where(serve, srow, big)
+                chunk = jnp.where(serve, chunk, big)
+            else:
+                yc = jnp.where(serve, yc, y_pxs[inst])
+                xc = jnp.where(serve, xc, x_pxs[inst])
+                chunk = xc // LANE
+                lane_idx = xc - chunk * LANE
+                srow = yc + APRON_T - r * ii  # padded-row window start
+            return srow, chunk, lane_idx, oob, serve, inst
+
         def gather_probes_fast(probes):
-            """All probes' image values via STATIC windows only: 2 padded
-            rows x KC chunks anchored at each probe's (min row, min chunk) —
-            coherent probes (one node, narrow depth) are fully served.
-            Returns (values, over): ``over`` marks lanes some probe left
-            unserved; the CALLER must run an exact pass for them.  No
+            """All probes' image values via STATIC windows only: _FAST_ROWS
+            padded rows x KC chunks anchored at each probe's (min row, min
+            chunk) — coherent probes (one node, narrow depth) are fully
+            served.  Returns (values, over): ``over`` marks lanes some probe
+            left unserved; the CALLER must run an exact pass for them.  No
             dynamic-trip loops here — they are Mosaic scheduling barriers
             (measured 20x on the training kernel).  Out-of-bounds probes are
             clamped into the image and masked to 65535 (tree_eval semantics:
             OOB reads "very far", decision_tree_common.hpp:8-28).
-            ``probes`` is a list of (yy, xx, active)."""
-            def prep(yy, xx, active):
-                oob = (yy < 0) | (yy >= h) | (xx < 0) | (xx >= w)
-                # fully-OOB lanes read the 65535 sentinel by masking and
-                # never need serving: excluding them keeps windows tight and
-                # stops image borders from forcing the exact path.
-                serve = active & ~oob
-                yc = jnp.clip(yy, 0, h - 1)
-                xc = jnp.clip(xx, 0, w - 1)
-                yc = jnp.where(serve, yc, y_px)
-                xc = jnp.where(serve, xc, x_px)
-                chunk = xc // LANE
-                lane_idx = xc - chunk * LANE
-                srow = yc + APRON_T - r * ii  # padded-row window start
-                return srow, chunk, lane_idx, oob, serve
-
-            preps = [prep(yy, xx, act) for (yy, xx, act) in probes]
+            ``probes`` is a list of (yy, xx, active, inst)."""
+            preps = [prep(yy, xx, act, inst, False)
+                     for (yy, xx, act, inst) in probes]
 
             if _SHARED_BASE:
                 return _fast_shared(preps)
@@ -428,20 +451,22 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
             # load pipeline), so the per-probe path is the default.
             if BATCH_PROBE_MINS and scratch_ref is not None:
                 base_rows = []
-                for (srow, chunk, lane_idx, oob, active) in preps:
+                for (srow, chunk, lane_idx, oob, active, _inst) in preps:
                     base_rows.append(row_min(srow, active))
                     base_rows.append(row_min(chunk, active))
                 bases = scalar_mins(base_rows)
             else:
                 bases = []
-                for (srow, chunk, lane_idx, oob, active) in preps:
+                for (srow, chunk, lane_idx, oob, active, _inst) in preps:
                     bases.append(jnp.min(jnp.where(active, srow, big)))
                     bases.append(jnp.min(jnp.where(active, chunk, big)))
 
             accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
             over = jnp.zeros((SUB, LANE), jnp.bool_)
             overs = []
-            for p, (srow, chunk, lane_idx, oob, active) in enumerate(preps):
+            for p, (srow, chunk, lane_idx, oob, active, inst) in enumerate(
+                    preps):
+                even_ref, odd_ref = planes[inst]
                 sb = bases[2 * p]
                 cb = jnp.clip(bases[2 * p + 1], 0, n_chunks_img - KC)
                 if r == 2:
@@ -471,9 +496,14 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                     lo_row = s0
                     hi_row = s0 + _FAST_ROWS - 1
                 kpc = len(rows) // KC
+                # Hoisted masks: the candidates repeat the same kpc row
+                # values across KC chunks, so 2 compares + an AND per
+                # candidate (3 * kpc * KC ops) collapse to kpc + KC compares
+                # + one AND per candidate.
+                row_masks = [srow == rows[dh][0] for dh in range(kpc)]
+                chunk_masks = [chunk == cb + dc for dc in range(KC)]
                 for k, (s_val, op) in enumerate(rows):
-                    cix = cb + k // kpc
-                    sel = (srow == s_val) & (chunk == cix)
+                    sel = row_masks[k % kpc] & chunk_masks[k // kpc]
                     v = jnp.take_along_axis(op, lane_idx, axis=1)
                     accs[p] = jnp.where(sel, v, accs[p])
                 over_p = active & (
@@ -489,30 +519,17 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
             return vals, over, overs
 
         def gather_probes_exact(probes, init_vals=None):
-            """Exact (unconditionally dynamic) gather: one (row, chunk) sweep
-            PER PROBE over that probe's own range — never the probes' union,
-            whose span is the distance between unrelated targets.  Only for
-            use inside a caller's single fallback gate."""
-            def prep(yy, xx, active):
-                oob = (yy < 0) | (yy >= h) | (xx < 0) | (xx >= w)
-                # fully-OOB lanes read the 65535 sentinel by masking and
-                # never need serving: excluding them keeps windows tight and
-                # stops image borders from forcing the exact path.
-                serve = active & ~oob
-                yc = jnp.clip(yy, 0, h - 1)
-                xc = jnp.clip(xx, 0, w - 1)
-                chunk = xc // LANE
-                lane_idx = xc - chunk * LANE
-                srow = yc + APRON_T - r * ii
-                # non-served lanes are POISONED out of both the sweep range
-                # (min bounds skip `big`) and the serves (no candidate ever
-                # equals `big`), so a sparse set of stragglers costs only
-                # its own span — not the union with the tile's base rows.
-                srow = jnp.where(serve, srow, big)
-                chunk = jnp.where(serve, chunk, big)
-                return srow, chunk, lane_idx, oob, serve
-
-            preps = [prep(yy, xx, act) for (yy, xx, act) in probes]
+            """Exact (unconditionally dynamic) gather: ONE (row, chunk)
+            needed-set sweep over every probe's stragglers (all instances
+            together — each block iteration loads each instance's planes
+            once and serves all its probes).  Non-served lanes are POISONED
+            out of both the sweep range (min bounds skip ``big``) and the
+            serves (no candidate ever equals ``big``), so a sparse set of
+            stragglers costs only its own span.  Only for use inside a
+            caller's single fallback gate."""
+            preps = [prep(yy, xx, act, inst, True)
+                     for (yy, xx, act, inst) in probes]
+            insts_used = sorted({p[5] for p in preps})
             # UNION sweep: one dynamic (row, chunk) loop over all probes'
             # combined range, serving every probe per iteration — 8x fewer
             # loop iterations and window loads than per-probe sweeps at the
@@ -528,29 +545,41 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
 
             def serve_block(b, cix, accs):
                 """Serve every probe's lanes whose target falls in the
-                aligned 8-plane-row block at (b, chunk cix)."""
+                aligned 8-plane-row block at (b, chunk cix) — one plane load
+                per instance, all instances' probes per iteration."""
                 q = b * SUB  # aligned plane-row start of this block
                 col = pl.ds(pl.multiple_of(cix * LANE, LANE), LANE)
-                e16 = even_ref[0, pl.ds(pl.multiple_of(q, SUB), 2 * SUB), col]
+                rowsl = pl.ds(pl.multiple_of(q, SUB), 2 * SUB)
+                e16s = {s: planes[s][0][0, rowsl, col] for s in insts_used}
                 if r == 2:
-                    o16 = odd_ref[0, pl.ds(pl.multiple_of(q, SUB), 2 * SUB),
-                                  col]
+                    o16s = {s: planes[s][1][0, rowsl, col]
+                            for s in insts_used}
                 accs = list(accs)
                 inchunk = [p[1] == cix for p in preps]
                 srel = [p[0] - r * q for p in preps]  # block-relative start
                 for k in range(SUB):
-                    ops = []
+                    ops = {}
+                    rolled_e = {
+                        s: pltpu.roll(e16s[s], (2 * SUB - k) % (2 * SUB),
+                                      0)[0:SUB]
+                        for s in insts_used
+                    }
                     if r == 1:
-                        ops.append((k, pltpu.roll(e16, (2 * SUB - k) % (2 * SUB), 0)[0:SUB]))
+                        ops = {s: [(k, rolled_e[s])] for s in insts_used}
                     else:
-                        ops.append((2 * k, pltpu.roll(e16, (2 * SUB - k) % (2 * SUB), 0)[0:SUB]))
-                        ops.append((
-                            2 * k + 1,
-                            pltpu.roll(o16, (2 * SUB - k) % (2 * SUB), 0)[0:SUB],
-                        ))
-                    for s_rel, op in ops:
-                        for pidx, (srow, chunk, lane_idx, oob,
-                                   active) in enumerate(preps):
+                        rolled_o = {
+                            s: pltpu.roll(o16s[s], (2 * SUB - k) % (2 * SUB),
+                                          0)[0:SUB]
+                            for s in insts_used
+                        }
+                        ops = {
+                            s: [(2 * k, rolled_e[s]),
+                                (2 * k + 1, rolled_o[s])]
+                            for s in insts_used
+                        }
+                    for pidx, (srow, chunk, lane_idx, oob, active,
+                               inst) in enumerate(preps):
+                        for s_rel, op in ops[inst]:
                             sel = (srel[pidx] == s_rel) & inchunk[pidx]
                             v = jnp.take_along_axis(op, lane_idx, axis=1)
                             accs[pidx] = jnp.where(sel, v, accs[pidx])
@@ -572,7 +601,7 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                         (srow // (SUB * r)) * n_chunks_img + chunk,
                         big,
                     )
-                    for (srow, chunk, lane_idx, oob, active) in preps
+                    for (srow, chunk, lane_idx, oob, active, _inst) in preps
                 ]
                 rem0 = jnp.concatenate(nbs, axis=0)  # (8P, LANE)
 
@@ -596,11 +625,11 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                 # box.  Bounds consider SERVED lanes only on both sides.
                 act_srows = [
                     jnp.where(active, srow, -1)
-                    for (srow, chunk, lane_idx, oob, active) in preps
+                    for (srow, chunk, lane_idx, oob, active, _inst) in preps
                 ]
                 act_chunks = [
                     jnp.where(active, chunk, -1)
-                    for (srow, chunk, lane_idx, oob, active) in preps
+                    for (srow, chunk, lane_idx, oob, active, _inst) in preps
                 ]
                 m_srow = act_srows[0]
                 m_chunk = act_chunks[0]
@@ -609,7 +638,7 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                     m_chunk = jnp.maximum(m_chunk, b)
                 n_srow = preps[0][0]
                 n_chunk = preps[0][1]
-                for (srow, chunk, lane_idx, oob, active) in preps[1:]:
+                for (srow, chunk, lane_idx, oob, active, _inst) in preps[1:]:
                     n_srow = jnp.minimum(n_srow, srow)
                     n_chunk = jnp.minimum(n_chunk, chunk)
                 s_hi = jnp.max(m_srow)
@@ -649,8 +678,8 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                 # static windows could not serve, so the sweep bounds cover
                 # the stragglers' span, not every active lane's.
                 probes2 = [
-                    (yy, xx, act & overs[p])
-                    for p, (yy, xx, act) in enumerate(probes)
+                    (yy, xx, act & overs[p], inst)
+                    for p, (yy, xx, act, inst) in enumerate(probes)
                 ]
                 return gather_probes_exact(probes2, init_vals=list(vals_in))
 
@@ -709,33 +738,35 @@ def _tile_context(even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=None):
                 return acc
             return jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
 
-    return y_px, x_px, gather_image_multi, chunked_lookup, (
+    return y_pxs, x_pxs, gather_image_multi, chunked_lookup, (
         gather_probes_fast, gather_probes_exact,
         scalar_mins, chunk_bound_rows, chunk_bounds)
 
 
-def _traverse_tile(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
-                   num_classes, counts, eligible, safe_df, zero_center,
-                   scale, y_px, x_px, gather_image_multi, chunked_lookup,
-                   bound_helpers=None):
-    """Level-synchronous traversal of one (8, 128) tile through one forest;
-    returns (argmax class, all-trees-done mask).
+def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
+                    num_classes, counts, insts, scale, y_pxs, x_pxs,
+                    gather_image_multi, chunked_lookup, bound_helpers=None):
+    """Level-synchronous traversal of K (8, 128) tiles through one forest;
+    ``insts`` is a list of per-tile (eligible, safe_df, zero_center).
+    Returns (per-tile argmax classes, per-tile all-trees-done masks).
 
-    ALL trees advance together per level: the kernel is latency-bound (scalar
-    reductions, divides, dependent shuffles), so the per-level serial chain —
-    bound reduces, one unioned image sweep, the any()-gates — is paid ONCE
-    for T trees instead of T times.  The per-tree work that remains is
-    throughput-cheap vector ops."""
+    ALL trees of ALL tiles advance together per level: the kernel is
+    latency-bound (scalar reductions, divides, dependent shuffles), so the
+    per-level serial chain — bound reduces, one unioned image sweep, the
+    any()-gates — is paid ONCE for K*T (tile, tree) walks instead of K*T
+    times, and each per-tree table sweep serves every tile's lanes from one
+    block load (adjacent compacted tiles visit near-identical node ranges)."""
     scalar_mins, chunk_bound_rows, chunk_bounds = (
         bound_helpers if bound_helpers is not None else (None, None, None)
     )
     T = num_trees
-    not_elig = (~eligible).astype(jnp.int32)
-    gs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in range(T)]
-    dones = [not_elig for _ in range(T)]
-    # global leaf id per tree, resolved at hit time from the lf component;
+    K = len(insts)
+    NI = K * T  # flattened (tile, tree) walks: i = s * T + t
+    gs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in range(NI)]
+    dones = [(~insts[i // T][0]).astype(jnp.int32) for i in range(NI)]
+    # global leaf id per walk, resolved at hit time from the lf component;
     # the class pdfs are gathered ONCE after the walk (see pack_tables_pallas)
-    leafs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in range(T)]
+    leafs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in range(NI)]
 
     for j in range(depth_levels):
         ux_r, uy_r, vx_r, vy_r, th_r, ch_r, lf_r = tables[
@@ -744,117 +775,212 @@ def _traverse_tile(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
         n_nodes = counts[j]
 
         def level_fn(state):
-            gs = list(state[:T])
-            dones = list(state[T : 2 * T])
-            leafs = list(state[2 * T :])
+            gs = list(state[:NI])
+            dones = list(state[NI : 2 * NI])
+            leafs = list(state[2 * NI :])
 
             # One batched reduce yields every tree's node-chunk bounds for
-            # this level; all 6 component lookups per tree (and the pdf
-            # lookups below) share them instead of re-reducing per lookup.
+            # this level — the UNION over tiles, so all tiles' component
+            # lookups for a tree share one sweep (and the scalar-extraction
+            # count stays 2 per tree regardless of K).  With _UNION_COMPS
+            # off, bounds (and sweeps below) are per walk instead: narrower
+            # ranges at divergent levels, pure cross-tile ILP.
+            union = _UNION_COMPS or K == 1
             tree_bounds = [None] * T
+            walk_bounds = [None] * NI
             if n_nodes > LANE and scalar_mins is not None:
-                rows = []
-                for t in range(T):
-                    rows.extend(chunk_bound_rows(gs[t], dones[t] == 0))
-                flat = scalar_mins(rows)
-                tree_bounds = [
-                    chunk_bounds(flat[2 * t : 2 * t + 2]) for t in range(T)
-                ]
+                if union:
+                    rows = []
+                    for t in range(T):
+                        lo_row, hi_row = None, None
+                        for s in range(K):
+                            pair = chunk_bound_rows(
+                                gs[s * T + t], dones[s * T + t] == 0
+                            )
+                            lo_row = (
+                                pair[0] if lo_row is None
+                                else jnp.minimum(lo_row, pair[0])
+                            )
+                            hi_row = (
+                                pair[1] if hi_row is None
+                                else jnp.minimum(hi_row, pair[1])
+                            )
+                        rows.extend([lo_row, hi_row])
+                    flat = scalar_mins(rows)
+                    tree_bounds = [
+                        chunk_bounds(flat[2 * t : 2 * t + 2])
+                        for t in range(T)
+                    ]
+                else:
+                    rows = []
+                    for i in range(NI):
+                        rows.extend(
+                            chunk_bound_rows(gs[i], dones[i] == 0)
+                        )
+                    flat = scalar_mins(rows)
+                    walk_bounds = [
+                        chunk_bounds(flat[2 * i : 2 * i + 2])
+                        for i in range(NI)
+                    ]
 
             comp_refs = (ux_r, uy_r, vx_r, vy_r, th_r, ch_r, lf_r)
 
-            def comps_merged(t, g, active):
-                """All 7 components of node ``g`` in ONE chunk sweep — the
-                7 separate chunked_lookup fori_loops this replaces each ran
-                their own dynamic-trip loop over the same chunk range
-                (Mosaic cannot pipeline those; deep trained levels sweep
-                3-5 chunks, so the loop count dominated)."""
-                gc = jnp.where(active, g, 0)
-                chunk = gc // LANE
-                lane_idx = gc - chunk * LANE
-                c_lo, c_hi = tree_bounds[t]
+            def comps_merged(t, g_list, act_list, bounds):
+                """All 7 components of every listed tile's node ``g`` for
+                tree t in ONE chunk sweep — each block is loaded/rolled once
+                and serves all listed tiles (the 7*K separate chunked_lookup
+                fori_loops this replaces each ran their own dynamic-trip
+                loop over the same chunk range; Mosaic cannot pipeline
+                those)."""
+                gcs = [jnp.where(a, g, 0) for g, a in zip(g_list, act_list)]
+                chunks = [gc // LANE for gc in gcs]
+                lanes = [gc - c * LANE for gc, c in zip(gcs, chunks)]
+                c_lo, c_hi = bounds
+
+                kk = len(g_list)
 
                 def body(cix, accs):
                     out = []
-                    for ref, acc in zip(comp_refs, accs):
+                    pos = 0
+                    for ref in comp_refs:
                         blk = ref[t, cix // SUB]
                         row = pltpu.roll(blk, (SUB - cix % SUB) % SUB, 0)[0:1]
                         op = jnp.broadcast_to(row, (SUB, LANE))
-                        val = jnp.take_along_axis(op, lane_idx, axis=1)
-                        out.append(jnp.where(chunk == cix, val, acc))
+                        for s in range(kk):
+                            val = jnp.take_along_axis(op, lanes[s], axis=1)
+                            out.append(
+                                jnp.where(chunks[s] == cix, val, accs[pos])
+                            )
+                            pos += 1
                     return tuple(out)
 
                 init = tuple(
-                    jnp.zeros((SUB, LANE), ref.dtype) for ref in comp_refs
+                    jnp.zeros((SUB, LANE), ref.dtype)
+                    for ref in comp_refs for _ in range(kk)
                 )
-                return jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
+                flat = jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
+                # -> [comp][tile]
+                return [
+                    flat[c * kk : (c + 1) * kk]
+                    for c in range(len(comp_refs))
+                ]
 
-            actives, ths, chs, lfs, probes = [], [], [], [], []
+            actives = [None] * NI
+            ths = [None] * NI
+            chs = [None] * NI
+            lfs = [None] * NI
+            probes = []
             for t in range(T):
-                active = dones[t] == 0
-                g = gs[t] if "lut0" not in _NEUTER else jnp.zeros(
-                    (SUB, LANE), jnp.int32
-                )
-
-                if n_nodes > LANE and tree_bounds[t] is not None:
-                    ux, uy, vx, vy, th_v, ch_v, lf_v = comps_merged(
-                        t, g, active
+                g_list, act_list = [], []
+                for s in range(K):
+                    i = s * T + t
+                    act_list.append(dones[i] == 0)
+                    g_list.append(
+                        gs[i] if "lut0" not in _NEUTER
+                        else jnp.zeros((SUB, LANE), jnp.int32)
                     )
-                    ths.append(th_v)
-                    chs.append(ch_v)
-                    lfs.append(lf_v)
-                else:
-                    def comp(ref, _t=t, _g=g, _a=active):
-                        return chunked_lookup(
-                            lambda sc, _r=ref: _r[_t, sc],
-                            _g, _a, ref.dtype, n_nodes,
-                            bounds=tree_bounds[_t],
+
+                if n_nodes > LANE and (
+                    tree_bounds[t] is not None or walk_bounds[t] is not None
+                ):
+                    if union:
+                        comps = comps_merged(
+                            t, g_list, act_list, tree_bounds[t]
                         )
+                        uxs, uys, vxs, vys = (
+                            comps[0], comps[1], comps[2], comps[3]
+                        )
+                        for s in range(K):
+                            i = s * T + t
+                            ths[i] = comps[4][s]
+                            chs[i] = comps[5][s]
+                            lfs[i] = comps[6][s]
+                    else:
+                        uxs, uys, vxs, vys = [], [], [], []
+                        for s in range(K):
+                            i = s * T + t
+                            cs = comps_merged(
+                                t, [g_list[s]], [act_list[s]],
+                                walk_bounds[i],
+                            )
+                            uxs.append(cs[0][0])
+                            uys.append(cs[1][0])
+                            vxs.append(cs[2][0])
+                            vys.append(cs[3][0])
+                            ths[i] = cs[4][0]
+                            chs[i] = cs[5][0]
+                            lfs[i] = cs[6][0]
+                else:
+                    uxs, uys, vxs, vys = [], [], [], []
+                    for s in range(K):
+                        i = s * T + t
 
-                    ux, uy = comp(ux_r), comp(uy_r)
-                    vx, vy = comp(vx_r), comp(vy_r)
-                    ths.append(comp(th_r))
-                    chs.append(comp(ch_r))
-                    lfs.append(comp(lf_r))
+                        def comp(ref, _g=g_list[s], _a=act_list[s]):
+                            return chunked_lookup(
+                                lambda sc, _r=ref: _r[t, sc],
+                                _g, _a, ref.dtype, n_nodes,
+                                bounds=tree_bounds[t],
+                            )
 
-                dux = jnp.floor(scale * ux / safe_df).astype(jnp.int32)
-                duy = jnp.floor(scale * uy / safe_df).astype(jnp.int32)
-                dvx = jnp.floor(scale * vx / safe_df).astype(jnp.int32)
-                dvy = jnp.floor(scale * vy / safe_df).astype(jnp.int32)
-                probes.append((y_px + duy, x_px + dux, active))
-                probes.append((y_px + dvy, x_px + dvx, active))
-                actives.append(active)
+                        uxs.append(comp(ux_r))
+                        uys.append(comp(uy_r))
+                        vxs.append(comp(vx_r))
+                        vys.append(comp(vy_r))
+                        ths[i] = comp(th_r)
+                        chs[i] = comp(ch_r)
+                        lfs[i] = comp(lf_r)
 
+                for s in range(K):
+                    i = s * T + t
+                    safe_df = insts[s][1]
+                    dux = jnp.floor(scale * uxs[s] / safe_df).astype(jnp.int32)
+                    duy = jnp.floor(scale * uys[s] / safe_df).astype(jnp.int32)
+                    dvx = jnp.floor(scale * vxs[s] / safe_df).astype(jnp.int32)
+                    dvy = jnp.floor(scale * vys[s] / safe_df).astype(jnp.int32)
+                    probes.append(
+                        (y_pxs[s] + duy, x_pxs[s] + dux, act_list[s], s)
+                    )
+                    probes.append(
+                        (y_pxs[s] + dvy, x_pxs[s] + dvx, act_list[s], s)
+                    )
+                    actives[i] = act_list[s]
+
+            # probes are ordered [(t, s, u/v)]: index of walk i = s*T + t
+            # is 2 * (t * K + s) for u, +1 for v.
             if "img" in _NEUTER:
-                vals = tuple(y_px + x_px for _ in range(2 * T))
+                vals = tuple(
+                    y_pxs[p[3]] + x_pxs[p[3]] for p in probes
+                )
             else:
                 vals = gather_image_multi(probes)
 
-            old_gs = list(gs)
             for t in range(T):
-                f = vals[2 * t].astype(jnp.float32) - vals[
-                    2 * t + 1
-                ].astype(jnp.float32)
-                f = jnp.where(zero_center, 0.0, f)
-                left = f < ths[t]
-                side = jnp.where(left, 0, 1)
-                # compact child pointer for the chosen side; 0 = leaf —
-                # in which case the lf component carries the leaf id + 1
-                child = (chs[t] >> (side * 16)) & 0xFFFF
-                descend = child != 0
-                hit = actives[t] & (~descend)
-                gs[t] = jnp.where(actives[t] & descend, child - 1, gs[t])
-                dones[t] = jnp.where(hit, 1, dones[t])
-                leafv = ((lfs[t] >> (side * 16)) & 0xFFFF) - 1
-                leafs[t] = jnp.where(hit, leafv, leafs[t])
+                for s in range(K):
+                    i = s * T + t
+                    pu = 2 * (t * K + s)
+                    f = vals[pu].astype(jnp.float32) - vals[
+                        pu + 1
+                    ].astype(jnp.float32)
+                    f = jnp.where(insts[s][2], 0.0, f)
+                    left = f < ths[i]
+                    side = jnp.where(left, 0, 1)
+                    # compact child pointer for the chosen side; 0 = leaf —
+                    # in which case the lf component carries the leaf id + 1
+                    child = (chs[i] >> (side * 16)) & 0xFFFF
+                    descend = child != 0
+                    hit = actives[i] & (~descend)
+                    gs[i] = jnp.where(actives[i] & descend, child - 1, gs[i])
+                    dones[i] = jnp.where(hit, 1, dones[i])
+                    leafv = ((lfs[i] >> (side * 16)) & 0xFFFF) - 1
+                    leafs[i] = jnp.where(hit, leafv, leafs[i])
             return tuple(gs) + tuple(dones) + tuple(leafs)
 
-        # Skip the level only when EVERY tree is done everywhere (one
-        # scalar reduce per level, not per tree).  bool vectors don't
+        # Skip the level only when EVERY walk is done everywhere (one
+        # scalar reduce per level, not per walk).  bool vectors don't
         # legalize as scf loop carries; use i32.
         nd = dones[0]
-        for t in range(1, T):
-            nd = jnp.minimum(nd, dones[t])
+        for i in range(1, NI):
+            nd = jnp.minimum(nd, dones[i])
         state = tuple(gs) + tuple(dones) + tuple(leafs)
         if "nogate" in _NEUTER:
             state = level_fn(state)
@@ -865,88 +991,154 @@ def _traverse_tile(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
                 lambda _, s: level_fn(s),
                 state,
             )
-        gs = list(state[:T])
-        dones = list(state[T : 2 * T])
-        leafs = list(state[2 * T :])
+        gs = list(state[:NI])
+        dones = list(state[NI : 2 * NI])
+        leafs = list(state[2 * NI :])
 
-    all_done = dones[0] != 0
-    for t in range(1, T):
-        all_done &= dones[t] != 0
+    all_dones = []
+    for s in range(K):
+        ad = dones[s * T] != 0
+        for t in range(1, T):
+            ad &= dones[s * T + t] != 0
+        all_dones.append(ad)
 
     # Deferred pdf gather: every eligible pixel that landed on a leaf reads
     # its C class pdfs ONCE from the global leaf table — the per-level
     # (tree x class) chunk sweeps this replaces were ~90% of kernel time on
     # deep models (scripts/profile_attrib.py).
-    pdf_sum = [
-        jnp.zeros((SUB, LANE), jnp.float32) for _ in range(num_classes)
+    pdf_sums = [
+        [jnp.zeros((SUB, LANE), jnp.float32) for _ in range(num_classes)]
+        for _ in range(K)
     ]
     if "pdf" not in _NEUTER:
-        acts = [(dones[t] != 0) & eligible for t in range(T)]
-        leaf_bounds = [None] * T
+        acts = [
+            (dones[i] != 0) & insts[i // T][0] for i in range(NI)
+        ]
+        union = _UNION_COMPS or K == 1
+        leaf_bounds = [None] * T  # union over tiles, per tree
+        leaf_walk_bounds = [None] * NI
         if "pdfstatic" in _NEUTER:
             leaf_bounds = [
                 (0, (num_leaves + LANE - 1) // LANE - 1)
             ] * T
+            leaf_walk_bounds = [leaf_bounds[i % T] for i in range(NI)]
         elif num_leaves > LANE and scalar_mins is not None:
-            rows = []
-            for t in range(T):
-                rows.extend(chunk_bound_rows(leafs[t], acts[t]))
-            flat = scalar_mins(rows)
-            leaf_bounds = [
-                chunk_bounds(flat[2 * t : 2 * t + 2]) for t in range(T)
-            ]
+            if union:
+                rows = []
+                for t in range(T):
+                    lo_row, hi_row = None, None
+                    for s in range(K):
+                        i = s * T + t
+                        pair = chunk_bound_rows(leafs[i], acts[i])
+                        lo_row = pair[0] if lo_row is None else jnp.minimum(
+                            lo_row, pair[0])
+                        hi_row = pair[1] if hi_row is None else jnp.minimum(
+                            hi_row, pair[1])
+                    rows.extend([lo_row, hi_row])
+                flat = scalar_mins(rows)
+                leaf_bounds = [
+                    chunk_bounds(flat[2 * t : 2 * t + 2]) for t in range(T)
+                ]
+            else:
+                rows = []
+                for i in range(NI):
+                    rows.extend(chunk_bound_rows(leafs[i], acts[i]))
+                flat = scalar_mins(rows)
+                leaf_walk_bounds = [
+                    chunk_bounds(flat[2 * i : 2 * i + 2]) for i in range(NI)
+                ]
         for t in range(T):
             if num_leaves <= LANE:
                 # pre-broadcast table: one direct load + shuffle per class
-                for k in range(num_classes):
-                    val = chunked_lookup(
-                        lambda sc, _t=t, _k=k: leaf_pdf_r[_t, _k, sc],
-                        leafs[t], acts[t], jnp.float32, num_leaves,
-                        bounds=leaf_bounds[t],
-                    )
-                    pdf_sum[k] = pdf_sum[k] + jnp.where(acts[t], val, 0.0)
+                for s in range(K):
+                    i = s * T + t
+                    for k in range(num_classes):
+                        val = chunked_lookup(
+                            lambda sc, _t=t, _k=k: leaf_pdf_r[_t, _k, sc],
+                            leafs[i], acts[i], jnp.float32, num_leaves,
+                            bounds=leaf_bounds[t],
+                        )
+                        pdf_sums[s][k] = pdf_sums[s][k] + jnp.where(
+                            acts[i], val, 0.0
+                        )
                 continue
 
-            # ONE chunk sweep per tree serving every class per iteration
-            # (C separate chunked_lookups would run C dynamic-trip loops
-            # over the same chunk range).
-            gc = jnp.where(acts[t], leafs[t], 0)
-            chunk = gc // LANE
-            lane_idx = gc - chunk * LANE
-            if leaf_bounds[t] is not None:
-                c_lo, c_hi = leaf_bounds[t]
-            else:
-                c_hi = jnp.max(jnp.where(acts[t], chunk, -1))
-                c_lo = jnp.minimum(
-                    jnp.min(jnp.where(acts[t], chunk, jnp.int32(1 << 29))),
-                    jnp.maximum(c_hi, 0),
+            # ONE chunk sweep per tree serving every listed tile and class
+            # per iteration (K*C separate chunked_lookups would run K*C
+            # dynamic-trip loops over the same chunk range).
+            def pdf_sweep(t, s_list, bounds):
+                kk = len(s_list)
+                chunks_l, lanes_l = [], []
+                for s in s_list:
+                    i = s * T + t
+                    gc = jnp.where(acts[i], leafs[i], 0)
+                    chunks_l.append(gc // LANE)
+                    lanes_l.append(gc - (gc // LANE) * LANE)
+                if bounds is not None:
+                    c_lo, c_hi = bounds
+                else:
+                    c_hi, c_lo = None, None
+                    for si, s in enumerate(s_list):
+                        i = s * T + t
+                        hi = jnp.max(jnp.where(acts[i], chunks_l[si], -1))
+                        lo = jnp.min(
+                            jnp.where(
+                                acts[i], chunks_l[si], jnp.int32(1 << 29)
+                            )
+                        )
+                        c_hi = hi if c_hi is None else jnp.maximum(c_hi, hi)
+                        c_lo = lo if c_lo is None else jnp.minimum(c_lo, lo)
+                    c_lo = jnp.minimum(c_lo, jnp.maximum(c_hi, 0))
+
+                def body(cix, accs, _t=t, _chunks=chunks_l, _lanes=lanes_l):
+                    out = []
+                    pos = 0
+                    for k in range(num_classes):
+                        blk = leaf_pdf_r[_t, k, cix // SUB]
+                        row = pltpu.roll(
+                            blk, (SUB - cix % SUB) % SUB, 0
+                        )[0:1]
+                        op = jnp.broadcast_to(row, (SUB, LANE))
+                        for si in range(kk):
+                            val = jnp.take_along_axis(
+                                op, _lanes[si], axis=1
+                            )
+                            out.append(
+                                jnp.where(
+                                    _chunks[si] == cix, val, accs[pos]
+                                )
+                            )
+                            pos += 1
+                    return tuple(out)
+
+                vals = jax.lax.fori_loop(
+                    c_lo, c_hi + 1, body,
+                    tuple(jnp.zeros((SUB, LANE), jnp.float32)
+                          for _ in range(num_classes * kk)),
                 )
-
-            def body(cix, accs, _t=t, _chunk=chunk, _lane=lane_idx):
-                out = []
                 for k in range(num_classes):
-                    blk = leaf_pdf_r[_t, k, cix // SUB]
-                    row = pltpu.roll(blk, (SUB - cix % SUB) % SUB, 0)[0:1]
-                    op = jnp.broadcast_to(row, (SUB, LANE))
-                    val = jnp.take_along_axis(op, _lane, axis=1)
-                    out.append(jnp.where(_chunk == cix, val, accs[k]))
-                return tuple(out)
+                    for si, s in enumerate(s_list):
+                        i = s * T + t
+                        pdf_sums[s][k] = pdf_sums[s][k] + jnp.where(
+                            acts[i], vals[k * kk + si], 0.0
+                        )
 
-            vals = jax.lax.fori_loop(
-                c_lo, c_hi + 1, body,
-                tuple(jnp.zeros((SUB, LANE), jnp.float32)
-                      for _ in range(num_classes)),
-            )
-            for k in range(num_classes):
-                pdf_sum[k] = pdf_sum[k] + jnp.where(acts[t], vals[k], 0.0)
+            if union:
+                pdf_sweep(t, list(range(K)), leaf_bounds[t])
+            else:
+                for s in range(K):
+                    pdf_sweep(t, [s], leaf_walk_bounds[s * T + t])
 
-    best_v = jnp.zeros((SUB, LANE), jnp.float32)
-    best_c = jnp.zeros((SUB, LANE), jnp.int32)
-    for k in range(num_classes):
-        better = pdf_sum[k] > best_v
-        best_v = jnp.where(better, pdf_sum[k], best_v)
-        best_c = jnp.where(better, k, best_c)
-    return best_c, all_done
+    best_cs = []
+    for s in range(K):
+        best_v = jnp.zeros((SUB, LANE), jnp.float32)
+        best_c = jnp.zeros((SUB, LANE), jnp.int32)
+        for k in range(num_classes):
+            better = pdf_sums[s][k] > best_v
+            best_v = jnp.where(better, pdf_sums[s][k], best_v)
+            best_c = jnp.where(better, k, best_c)
+        best_cs.append(best_c)
+    return best_cs, all_dones
 
 
 def _prep_planes(di, r, hl_pad, wl_pad):
@@ -988,9 +1180,12 @@ def _make_kernel(num_trees, depth_levels, num_classes, counts, num_leaves,
         out_ref = args[depth_levels * NCOMP + 1]
         scratch_ref = args[depth_levels * NCOMP + 2]
 
-        y_px, x_px, gather_image_multi, chunked_lookup, prims = _tile_context(
-            even_ref, odd_ref, r, h, w, pl.program_id(1), pl.program_id(2),
-            scratch_ref=scratch_ref,
+        y_pxs, x_pxs, gather_image_multi, chunked_lookup, prims = (
+            _tile_context(
+                [(even_ref, odd_ref)], r, h, w,
+                [(pl.program_id(1), pl.program_id(2))],
+                scratch_ref=scratch_ref,
+            )
         )
         d_center = dc_ref[0]
         filt = filt_ref[0]
@@ -1004,14 +1199,16 @@ def _make_kernel(num_trees, depth_levels, num_classes, counts, num_leaves,
         safe_df = jnp.where(df == 0.0, 1.0, df)
         zero_center = df == 0.0
 
-        best_c, all_done = _traverse_tile(
+        best_cs, all_dones = _traverse_tiles(
             tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
-            num_classes, counts, eligible, safe_df, zero_center, scale,
-            y_px, x_px, gather_image_multi, chunked_lookup,
+            num_classes, counts, [(eligible, safe_df, zero_center)], scale,
+            y_pxs, x_pxs, gather_image_multi, chunked_lookup,
             bound_helpers=prims[2:5],
         )
-        write = eligible if write_all_eligible else (eligible & all_done)
-        out_ref[0] = jnp.where(write, best_c, MAX_UINT16)
+        write = (
+            eligible if write_all_eligible else (eligible & all_dones[0])
+        )
+        out_ref[0] = jnp.where(write, best_cs[0], MAX_UINT16)
 
     return kernel
 
@@ -1149,19 +1346,34 @@ def evaluate_forest_pallas(
 # fused layered evaluation: all layers + composite in ONE kernel
 # ---------------------------------------------------------------------------
 
-def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
-    """Kernel running every layer's forest over one tile (each layer filtered
-    by an earlier layer's in-register labels) and walking the conditions
-    table — the whole LayeredDecisionForest.run + make_composite_labels_image
-    (tree_eval.cu:214-248) in a single grid pass.
+def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx,
+                         tile_k=1):
+    """Kernel running every layer's forest over ``tile_k`` tiles (each layer
+    filtered by an earlier layer's in-register labels) and walking the
+    conditions table — the whole LayeredDecisionForest.run +
+    make_composite_labels_image (tree_eval.cu:214-248) in a single grid pass.
 
     The grid is a COMPACTED 1-D list of occupied tiles (scalar-prefetched
     flat ids, dynamic length): background tiles never run at all — the
     TPU-native equivalent of the reference kernel's per-pixel early-outs
     (tree_eval.cu:81-93), moved up to tile granularity so empty desk pixels
-    cost zero grid steps instead of a per-level check."""
-    def kernel(idx_ref, scale_ref, even_ref, odd_ref, dc_ref, *args):
+    cost zero grid steps instead of a per-level check.  With tile_k > 1 each
+    grid step walks K consecutive compacted tiles together: the per-level
+    serial machinery (bound reduces, table sweeps, gates) is shared across
+    the K tiles (see _traverse_tiles), and each tile writes to its own
+    output canvas (slot = its rank in the compacted list, mod K; the caller
+    merges by rank)."""
+    K = tile_k
+
+    def kernel(idx_ref, scale_ref, *args):
+        # per-slot inputs: (even, odd, d_center) x K
+        planes = []
+        dcs = []
         pos = 0
+        for s in range(K):
+            planes.append((args[pos], args[pos + 1]))
+            dcs.append(args[pos + 2])
+            pos += 3
         layer_tables = []
         layer_leaf_pdfs = []
         for (t, d, c, _counts, _nl) in metas:
@@ -1170,36 +1382,46 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
             pos += d * NCOMP + 1
         cond_flag_ref = args[pos]
         cond_val_ref = args[pos + 1]
-        out_ref = args[pos + 2]
-        scratch_ref = args[pos + 3]
+        out_refs = args[pos + 2 : pos + 2 + K]
+        scratch_ref = args[pos + 2 + K]
 
-        flat = idx_ref[pl.program_id(0)]
-        ty = (flat // ntx) % nty
-        tx = flat % ntx
-        y_px, x_px, gather_image_multi, chunked_lookup, prims = _tile_context(
-            even_ref, odd_ref, r, h, w, ty, tx, scratch_ref=scratch_ref
+        tytx = []
+        for s in range(K):
+            flat = idx_ref[K * pl.program_id(0) + s]
+            tytx.append(((flat // ntx) % nty, flat % ntx))
+        y_pxs, x_pxs, gather_image_multi, chunked_lookup, prims = (
+            _tile_context(planes, r, h, w, tytx, scratch_ref=scratch_ref)
         )
-        d_center = dc_ref[0]
         scale = scale_ref[0, 0]
 
-        base_eligible = (d_center != 0) & (d_center != MAX_UINT16)
-        df = d_center.astype(jnp.float32)
-        safe_df = jnp.where(df == 0.0, 1.0, df)
-        zero_center = df == 0.0
+        insts_base = []
+        for s in range(K):
+            d_center = dcs[s][0]
+            base_eligible = (d_center != 0) & (d_center != MAX_UINT16)
+            df = d_center.astype(jnp.float32)
+            safe_df = jnp.where(df == 0.0, 1.0, df)
+            zero_center = df == 0.0
+            insts_base.append((base_eligible, safe_df, zero_center))
 
-        labels = []
+        labels = []  # [layer][tile]
         for i, ((t, d, c, counts, nl), (fm, fc)) in enumerate(
             zip(metas, filter_specs)
         ):
-            eligible = base_eligible
-            if fm is not None:
-                eligible = eligible & (labels[fm] == fc)
-            best_c, _ = _traverse_tile(
+            insts = []
+            for s in range(K):
+                eligible = insts_base[s][0]
+                if fm is not None:
+                    eligible = eligible & (labels[fm][s] == fc)
+                insts.append((eligible, insts_base[s][1], insts_base[s][2]))
+            best_cs, _ = _traverse_tiles(
                 layer_tables[i], layer_leaf_pdfs[i], nl, t, d, c, counts,
-                eligible, safe_df, zero_center, scale, y_px, x_px,
+                insts, scale, y_pxs, x_pxs,
                 gather_image_multi, chunked_lookup, bound_helpers=prims[2:5],
             )
-            labels.append(jnp.where(eligible, best_c, MAX_UINT16))
+            labels.append([
+                jnp.where(insts[s][0], best_cs[s], MAX_UINT16)
+                for s in range(K)
+            ])
 
         # composite walk (reference conditions semantics,
         # decision_tree.py:209-225)
@@ -1210,22 +1432,23 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
                 jnp.ones((SUB, LANE), jnp.bool_), jnp.int32, num_cond,
             )
 
-        offset = jnp.zeros((SUB, LANE), jnp.int32)
-        out = jnp.full((SUB, LANE), MAX_UINT16, jnp.int32)
-        done = jnp.zeros((SUB, LANE), jnp.bool_)
-        for i in range(len(metas)):
-            l = labels[i]
-            invalid = (l == 0) | (l == MAX_UINT16)
-            row_idx = jnp.clip(offset + l - 1, 0, num_cond - 1)
-            flag = cond_lookup(cond_flag_ref, row_idx)
-            val = cond_lookup(cond_val_ref, row_idx)
-            active = (~done) & (~invalid)
-            emit = active & (flag == 0)
-            out = jnp.where(emit, val, out)
-            offset = jnp.where(active & (flag == 1), val, offset)
-            done = done | invalid | emit
+        for s in range(K):
+            offset = jnp.zeros((SUB, LANE), jnp.int32)
+            out = jnp.full((SUB, LANE), MAX_UINT16, jnp.int32)
+            done = jnp.zeros((SUB, LANE), jnp.bool_)
+            for i in range(len(metas)):
+                l = labels[i][s]
+                invalid = (l == 0) | (l == MAX_UINT16)
+                row_idx = jnp.clip(offset + l - 1, 0, num_cond - 1)
+                flag = cond_lookup(cond_flag_ref, row_idx)
+                val = cond_lookup(cond_val_ref, row_idx)
+                active = (~done) & (~invalid)
+                emit = active & (flag == 0)
+                out = jnp.where(emit, val, out)
+                offset = jnp.where(active & (flag == 1), val, offset)
+                done = done | invalid | emit
 
-        out_ref[0] = out
+            out_refs[s][0] = out
 
     return kernel
 
@@ -1233,25 +1456,29 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dims", "metas", "filter_specs", "labels_reduce", "interpret"
+        "dims", "metas", "filter_specs", "labels_reduce", "interpret",
+        "tile_k",
     ),
 )
 def _run_layered_pallas(
     depth_even, depth_odd, d_center, scale, tables_flat,
     cond_flag, cond_val,
-    *, dims, metas, filter_specs, labels_reduce, interpret,
+    *, dims, metas, filter_specs, labels_reduce, interpret, tile_k=1,
 ):
     (n, h, w, hl_pad, wl_pad, num_cond) = dims
     r = labels_reduce
     nty, ntx = hl_pad // SUB, wl_pad // LANE
     ntiles = n * nty * ntx
+    K = tile_k
     kernel = _make_layered_kernel(
-        metas, filter_specs, r, h, w, num_cond, nty, ntx
+        metas, filter_specs, r, h, w, num_cond, nty, ntx, tile_k=K
     )
 
     # Tile compaction: only tiles holding at least one classifiable pixel get
     # a grid step.  flatnonzero keeps ascending order, so the hand index is
-    # monotone across steps and each even/odd plane is DMA'd into VMEM once.
+    # monotone across steps and each even/odd plane is DMA'd into VMEM once
+    # (and with K > 1 a step's K tiles are spatial neighbors, keeping the
+    # unioned sweeps narrow).
     elig = (d_center != 0) & (d_center != MAX_UINT16)
     tile_act = elig.reshape(n, nty, SUB, ntx, LANE).any(axis=(2, 4))
     flat_act = tile_act.reshape(ntiles)
@@ -1265,46 +1492,91 @@ def _run_layered_pallas(
         tile_list = jnp.arange(ntiles, dtype=jnp.int32)
     else:
         n_active = flat_act.sum().astype(jnp.int32)
+    # The last grid step's K slots may read past n_active (and past ntiles
+    # when ntiles % K != 0): pad with tile 0, whose writes land in slots the
+    # rank merge never reads.
+    if K > 1:
+        tile_list = jnp.concatenate(
+            [tile_list, jnp.zeros((K - 1,), jnp.int32)]
+        )
 
-    def plane_map(i, idx):
-        return (idx[i] // (nty * ntx), 0, 0)
+    def plane_map_s(s):
+        def m(i, idx):
+            return (idx[K * i + s] // (nty * ntx), 0, 0)
+        return m
 
-    def tile_map(i, idx):
-        f = idx[i]
-        return (f // (nty * ntx), (f // ntx) % nty, f % ntx)
+    def tile_map_s(s):
+        def m(i, idx):
+            f = idx[K * i + s]
+            return (f // (nty * ntx), (f // ntx) % nty, f % ntx)
+        return m
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    slot_specs = []
+    for s in range(K):
+        slot_specs += [
+            pl.BlockSpec(
+                (1,) + depth_even.shape[1:], plane_map_s(s),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + depth_odd.shape[1:], plane_map_s(s),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, SUB, LANE), tile_map_s(s), memory_space=pltpu.VMEM
+            ),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_active,),
+        grid=((n_active + K - 1) // K,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1,) + depth_even.shape[1:], plane_map,
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1,) + depth_odd.shape[1:], plane_map,
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, SUB, LANE), tile_map, memory_space=pltpu.VMEM),
+            *slot_specs,
             *[vm for _ in tables_flat],
             vm,
             vm,
         ],
-        out_specs=pl.BlockSpec(
-            (1, SUB, LANE), tile_map, memory_space=pltpu.VMEM
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, SUB, LANE), tile_map_s(s), memory_space=pltpu.VMEM
+            )
+            for s in range(K)
+        ],
         scratch_shapes=[pltpu.VMEM((SUB, 64), jnp.int32)],
     )
 
-    out = pl.pallas_call(
+    slot_inputs = []
+    for _ in range(K):
+        slot_inputs += [depth_even, depth_odd, d_center]
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, hl_pad, wl_pad), jnp.int32),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, hl_pad, wl_pad), jnp.int32)
+            for _ in range(K)
+        ],
         interpret=interpret,
-    )(tile_list, scale, depth_even, depth_odd, d_center, *tables_flat,
-      cond_flag, cond_val)
+    )(tile_list, scale, *slot_inputs, *tables_flat, cond_flag, cond_val)
+
+    if K == 1:
+        out = outs[0]
+    else:
+        # Each tile's labels live in the canvas of its slot = rank-in-the-
+        # list mod K (a padded final step duplicates tile 0 into an unread
+        # slot).  Merge by per-tile slot id.  In interpret mode the list is
+        # the identity, so the rank IS the flat id.
+        if interpret:
+            ranks = jnp.arange(ntiles, dtype=jnp.int32)
+        else:
+            ranks = jnp.cumsum(flat_act.astype(jnp.int32)) - 1
+        slot = (ranks % K).reshape(n, nty, 1, ntx, 1)
+        slot = jnp.broadcast_to(
+            slot, (n, nty, SUB, ntx, LANE)
+        ).reshape(n, hl_pad, wl_pad)
+        out = outs[K - 1]
+        for s in range(K - 1):
+            out = jnp.where(slot == s, outs[s], out)
     # Unvisited (all-background) tiles hold uninitialized output; every
     # ineligible pixel's label is MAX_UINT16 by the kernel's own rule, so one
     # mask restores exact semantics.
@@ -1369,5 +1641,6 @@ def evaluate_layered_pallas(
         tuple(tables_flat), cond_flag, cond_val,
         dims=dims, metas=tuple(metas), filter_specs=tuple(filter_specs),
         labels_reduce=r, interpret=interpret,
+        tile_k=int(os.environ.get("B3D_EVAL_TILEK", "1")),
     )
     return out[:, :hl, :wl].astype(jnp.uint16)

@@ -47,9 +47,10 @@ def _make_kernel(p_total, h, w, nty, ntx, exact):
     def body_common(flat, props_ref, depth_ref, dc_ref, act_ref):
         ty = (flat // ntx) % nty
         tx = flat % ntx
-        y_px, x_px, _, _, prims = _tile_context(
-            depth_ref, depth_ref, 1, h, w, ty, tx
+        y_pxs, x_pxs, _, _, prims = _tile_context(
+            [(depth_ref, depth_ref)], 1, h, w, [(ty, tx)]
         )
+        y_px, x_px = y_pxs[0], x_pxs[0]
         gather_fast, gather_exact = prims[0], prims[1]
         d_center = dc_ref[0]
         df = d_center.astype(jnp.float32)
@@ -69,8 +70,8 @@ def _make_kernel(p_total, h, w, nty, ntx, exact):
             duy = jnp.floor(uy / safe).astype(jnp.int32)
             dvx = jnp.floor(vx / safe).astype(jnp.int32)
             dvy = jnp.floor(vy / safe).astype(jnp.int32)
-            return [(y_px + duy, x_px + dux, act),
-                    (y_px + dvy, x_px + dvx, act)], th
+            return [(y_px + duy, x_px + dux, act, 0),
+                    (y_px + dvy, x_px + dvx, act, 0)], th
 
         words = [jnp.zeros((SUB, LANE), jnp.int32) for _ in range(p32)]
         over_any = jnp.zeros((SUB, LANE), jnp.bool_)

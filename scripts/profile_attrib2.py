@@ -28,9 +28,9 @@ pipe = FramePipeline(model, intrin)
 cfg = pipe.cfg
 h, w = intrin.height, intrin.width
 frames = jnp.asarray(np.stack([np.asarray(_synthetic_frame(intrin))] * B))
-plane_mat = jnp.asarray(np.array(
-    [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2600.0], [0, 0, 0, 1]],
-    np.float32))
+# identical operating point to bench.py: entry() RANSAC-calibrates the plane
+from __graft_entry__ import entry
+_, (_, plane_mat) = entry()
 
 def front(raw):
     depth1, grown, g_info, _ = _preproc_front(

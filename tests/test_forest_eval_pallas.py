@@ -161,3 +161,32 @@ def test_wide_conditions_falls_back_to_xla(tmp_path, rng):
     depth = rng.integers(500, 3000, (1, 16, 32)).astype(np.uint16)
     out = model.run(jnp.asarray(depth), backend="pallas")  # silently XLA
     assert out.shape == (1, 8, 16)
+
+
+def test_layered_tile_pairing_agrees(tmp_path, rng, monkeypatch):
+    """K=2 tile pairing (B3D_EVAL_TILEK) must be bit-identical to K=1:
+    pins the rank%K canvas merge, the padded last step, and the unioned
+    multi-tile sweeps.  Odd tile count + multiple frames exercise both the
+    padding slot and pairs straddling frame boundaries."""
+    cfg_path = fixtures.layered_cfg_fixture(str(tmp_path), rng)
+    ldf = LayeredDecisionForest.load(cfg_path, labels_reduce=2)
+    # 3 frames x (16, 384) -> 2x3 label tiles per frame, 9 tiles total (odd)
+    depth = fixtures.random_depth_image(rng, 3, 32, 384)
+
+    from beats3d_tpu.models import layered as layered_mod
+
+    orig = fep.evaluate_layered_pallas
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    layered_mod.forest_eval_pallas.evaluate_layered_pallas = interp
+    try:
+        monkeypatch.setenv("B3D_EVAL_TILEK", "1")
+        a = np.asarray(ldf.run(depth, backend="pallas"))
+        monkeypatch.setenv("B3D_EVAL_TILEK", "2")
+        b = np.asarray(ldf.run(depth, backend="pallas"))
+    finally:
+        layered_mod.forest_eval_pallas.evaluate_layered_pallas = orig
+    np.testing.assert_array_equal(a, b)
