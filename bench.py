@@ -5,26 +5,43 @@ Prints ONE JSON line:
   {"metric": "frames_per_second", "value": N, "unit": "848x480 frames/s/chip",
    "vs_baseline": N / 2000, ...extras}
 
-value = sustained batched throughput (the offline/eval operating point, the
-BASELINE.json "frames/s/chip" axis).  Extras report the live instrument's
-numbers: single-stream fps, amortized per-frame latency, sync p50 (one
-dispatch -> one batched fetch — over the axon tunnel this is dominated by a
-~25-40 ms host<->device round trip that does not exist on local hardware),
-and pipelined p50 (the BeatsApp double-buffered loop's inter-frame period).
+value = sustained batched throughput of the full pipeline (depth frame ->
+fingertip heights) on the TRAINED flagship model (models/flagship: coarse
+hand/arm D=8 T=4 -> fine 7-class D=16 T=4, the reference's run_live_layered
+operating point, ref src/3d_bz.py:68-76) over a two-hand scene with the
+table plane RANSAC-calibrated by the framework exactly as the app does on
+startup (ref src/3d_bz.py:172-178).
+
+Extras report:
+  - fps_synthetic_model: the same batched path on a RANDOM-offset synthetic
+    model — an adversarial worst case for probe-sweep divergence that no
+    trained model exhibits (trained splits have coherent offsets).
+  - the live instrument's numbers: single-stream fps, amortized per-frame
+    latency, sync p50 (one dispatch -> one batched fetch — over the axon
+    tunnel this is dominated by a ~25-40 ms host<->device round trip that
+    does not exist on local hardware), and pipelined p50 (the BeatsApp
+    double-buffered loop's inter-frame period).
 
 --check: on-chip parity lane — asserts the compiled Pallas kernel's labels
 against the XLA evaluator on the bench scene (the on-TPU test the CPU suite
 can't run); exits nonzero on mismatch.
 """
 
+import gzip
 import json
+import os
+import shutil
 import sys
 import time
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+FLAGSHIP = os.path.join(HERE, "models", "flagship")
+
 
 def _scene(intrin):
+    """Two plain blobs over a tilted table (the --check parity scene)."""
     h, w = intrin.height, intrin.width
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     n = np.array([0.03, -0.05, 1.0])
@@ -34,6 +51,50 @@ def _scene(intrin):
         blob = (xx - cx) ** 2 + (yy - h / 2) ** 2 < 130 ** 2
         depth[blob] -= 300.0
     return depth.astype(np.uint16)
+
+
+def _hand(depth, xx, yy, cx, cy, t, mirror):
+    """Palm + 5 fingers in the flagship model's trained geometry
+    (scripts/flagship_e2e.py scene); mirror=True flips finger direction for
+    the left hand (the pipeline mirrors it back before eval)."""
+    palm_r = 95.0
+    depth[(xx - cx) ** 2 + (yy - cy) ** 2 < palm_r ** 2] -= 320.0
+    s = -1.0 if mirror else 1.0
+    for k in range(5):
+        ang = np.pi * (0.75 + 0.125 * k) + 0.1 * np.sin(0.4 * t + k)
+        fx = cx + s * (palm_r + 55) * np.cos(ang)
+        fy = cy - (palm_r + 55) * abs(np.sin(ang))
+        tap = 0.5 + 0.5 * np.sin(0.5 * t + 1.3 * k)
+        fr = 26.0 + 2 * k
+        depth[(xx - fx) ** 2 + (yy - fy) ** 2 < fr ** 2] -= 340.0 + 40.0 * tap + 15 * k
+
+
+def _scene_hands(intrin, t):
+    """Two flagship-geometry hands over the tilted table: the right hand
+    (group 1, image-left) in model-native orientation, the left hand
+    (group 2, image-right) mirrored."""
+    h, w = intrin.height, intrin.width
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    n = np.array([0.02, -0.04, 1.0])
+    n /= np.linalg.norm(n)
+    depth = (2600.0 - n[0] * (xx - intrin.ppx) * 8 - n[1] * (yy - intrin.ppy) * 8) / n[2]
+    _hand(depth, xx, yy, 0.3 * w, h * 0.55, t, mirror=False)
+    _hand(depth, xx, yy, 0.7 * w, h * 0.55, t, mirror=True)
+    return depth.astype(np.uint16)
+
+
+def load_flagship(tmp="/tmp/bench_flagship_model"):
+    """The committed trained flagship model (models/flagship/RESULTS.json)."""
+    from beats3d_tpu.models import LayeredDecisionForest
+
+    os.makedirs(tmp, exist_ok=True)
+    for f in ("m0.npy", "model_cfg.json"):
+        shutil.copy(os.path.join(FLAGSHIP, f), os.path.join(tmp, f))
+    with gzip.open(os.path.join(FLAGSHIP, "m1.npy.gz"), "rb") as src, \
+            open(os.path.join(tmp, "m1.npy"), "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    return LayeredDecisionForest.load(
+        os.path.join(tmp, "model_cfg.json"), labels_reduce=2)
 
 
 def main():
@@ -46,21 +107,16 @@ def main():
     except Exception:
         pass
 
-    from __graft_entry__ import entry, _synthetic_layered_model
+    from __graft_entry__ import entry, _synthetic_layered_model, _synthetic_frame
+    from beats3d_tpu.runtime.pipeline import FramePipeline
     from beats3d_tpu.utils import CameraIntrinsics
 
     check = "--check" in sys.argv
 
-    fn, (depth, plane_mat) = entry()
-
-    # warm-up / compile
-    out = fn(depth, plane_mat)
-    np.asarray(out["heights"])
-
     if check:
-        from beats3d_tpu.models import layered as layered_mod
-        from beats3d_tpu.runtime.pipeline import FramePipeline
-
+        fn, (depth, plane_mat) = entry()
+        out = fn(depth, plane_mat)
+        np.asarray(out["heights"])
         intrin = CameraIntrinsics.d415()
         model = _synthetic_layered_model("/tmp/graft_model")
         scene = jnp.asarray(_scene(intrin))
@@ -86,6 +142,30 @@ def main():
             "platform": jax.devices()[0].platform,
         }))
         sys.exit(0 if ok else 1)
+
+    # ---- flagship workload: trained model, two-hand scene, RANSAC plane ---
+    from beats3d_tpu.ops import plane as plane_ops
+    from beats3d_tpu.ops import points as points_ops
+
+    intrin = CameraIntrinsics.d415()
+    model = load_flagship()
+    pipe = FramePipeline(model, intrin)
+    B = 16
+    frames_np = np.stack([_scene_hands(intrin, t) for t in range(B)])
+    frames = jnp.asarray(frames_np)
+    depth = frames[0]
+
+    # Calibrate the table plane with the framework's own RANSAC, exactly as
+    # the reference app does on its first frame (3d_bz.py:172-178).
+    pts = jax.jit(points_ops.deproject_points)(depth, pipe._pp, pipe._fx)
+    plane_mat = plane_ops.CalibratedPlane(25000, 40.0).make(pts)
+
+    def fn(d, m):
+        return pipe(d, m)
+
+    # warm-up / compile
+    out = fn(depth, plane_mat)
+    np.asarray(out["heights"])
 
     # --- single-stream: dispatch chain, one completion fetch ---
     iters = 40
@@ -116,31 +196,38 @@ def main():
         periods.append(time.perf_counter() - t0)
     p50_pipe = sorted(periods)[len(periods) // 2] * 1e3
 
-    # --- batched throughput (shared plane, recorded-session semantics) ---
-    from beats3d_tpu.runtime.pipeline import FramePipeline
-    from __graft_entry__ import _synthetic_frame
-
-    intrin = CameraIntrinsics.d415()
-    model = _synthetic_layered_model("/tmp/graft_model")
-    pipe = FramePipeline(model, intrin)
-    B = 16
-    frames = jnp.asarray(
-        np.stack([np.asarray(_synthetic_frame(intrin))] * B)
-    )
+    # --- batched throughput: the headline (offline/eval operating point) ---
     ob = pipe.batch(frames, plane_mat)
     np.asarray(ob["heights"])
-    bi = 10
+    bi = 12
     t0 = time.perf_counter()
     for _ in range(bi):
         ob = pipe.batch(frames, plane_mat)
     np.asarray(ob["heights"])
     fps_batched = B * bi / (time.perf_counter() - t0)
 
+    # --- adversarial extra: random-offset synthetic model, blob scene ---
+    model_syn = _synthetic_layered_model("/tmp/graft_model")
+    pipe_syn = FramePipeline(model_syn, intrin)
+    dep_syn = jnp.asarray(_synthetic_frame(intrin))
+    pts_s = jax.jit(points_ops.deproject_points)(dep_syn, pipe_syn._pp, pipe_syn._fx)
+    plane_syn = plane_ops.CalibratedPlane(25000, 40.0).make(pts_s)
+    frames_syn = jnp.asarray(np.stack([np.asarray(dep_syn)] * B))
+    os_ = pipe_syn.batch(frames_syn, plane_syn)
+    np.asarray(os_["heights"])
+    t0 = time.perf_counter()
+    for _ in range(bi):
+        os_ = pipe_syn.batch(frames_syn, plane_syn)
+    np.asarray(os_["heights"])
+    fps_syn = B * bi / (time.perf_counter() - t0)
+
     result = {
         "metric": "frames_per_second",
         "value": round(fps_batched, 2),
         "unit": "848x480 frames/s/chip",
         "vs_baseline": round(fps_batched / 2000.0, 4),
+        "model": "trained flagship (coarse D=8 T=4 -> fine D=16 T=4)",
+        "fps_synthetic_model": round(fps_syn, 2),
         "fps_single_stream": round(fps_single, 2),
         "latency_ms_amortized": round(dt_single * 1e3, 2),
         "p50_latency_ms": round(p50_pipe, 2),
