@@ -82,9 +82,11 @@ _SHARED_BASE = os.environ.get("B3D_EVAL_SHARED", "0") == "1"
 # 2x2 window has ZERO slack: any within-tile offset variation (depth slope,
 # chunk-boundary straddle) spills lanes into the exact-cleanup sweep.
 # Wider windows trade unconditional rolls+shuffles for fewer dynamic-trip
-# cleanup iterations; the best setting is model-dependent (coherent trained
-# forests benefit, adversarial random ones don't) — benchmarked defaults.
-_FAST_ROWS = int(os.environ.get("B3D_EVAL_ROWS", "4"))
+# cleanup iterations; the best setting is model-dependent — benchmarked on
+# the trained flagship (scripts/ab_flagship_knobs.py): 8x3 36.7 ms vs 4x3
+# 44.0 ms vs 2x2 37.8 ms on 32 crops (deep trained levels diverge enough
+# that halving cleanup invocations beats fewer static candidates).
+_FAST_ROWS = int(os.environ.get("B3D_EVAL_ROWS", "8"))
 _FAST_KC = int(os.environ.get("B3D_EVAL_KC", "3"))
 
 # Exact-sweep iteration policy: 1 = needed-set min-extraction (default),
@@ -95,6 +97,22 @@ _SWEEP_NEEDED = os.environ.get("B3D_EVAL_SWEEP", "1") == "1"
 # (fewer loops, wider ranges when the tiles diverge), 0 = per-tile sweeps
 # (narrow ranges, pure cross-tile ILP).  A/B knob for the pairing experiment.
 _UNION_COMPS = os.environ.get("B3D_EVAL_UNION", "1") == "1"
+
+# Levels whose node table spans <= this many 128-node chunks skip the
+# per-tree chunk-bound reduces and run a fully-unrolled STATIC sweep over
+# every chunk: 2 cross-lane reduces (serial ~latency) traded for <= N-1
+# extra straight-line load+shuffle iterations Mosaic can pipeline.  0
+# disables (always dynamic).  Default 4 (<= 512-node levels static) per
+# scripts/ab_flagship_knobs.py.
+_STATIC_CHUNKS = int(os.environ.get("B3D_EVAL_STATCHUNKS", "4"))
+
+# 1 = ONE cross-lane reduce per probe in the fast path (min over the
+# combined srow * NC + chunk id; the window anchors at the minimum-id lane's
+# (row, chunk) corner) instead of independent row and chunk mins.  Halves
+# the per-level serial reduce chain; lanes in a lower chunk on a later row
+# spill to the exact cleanup slightly more often.  Default on (36.0 vs 44.0
+# ms at 4x3 windows on the flagship sweep).
+_BASE1 = os.environ.get("B3D_EVAL_BASE1", "1") == "1"
 
 
 NCOMP = 7  # per-level table entries: ux, uy, vx, vy, th, lr, pdf
@@ -455,6 +473,16 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                     base_rows.append(row_min(srow, active))
                     base_rows.append(row_min(chunk, active))
                 bases = scalar_mins(base_rows)
+            elif _BASE1:
+                # One reduce per probe: min combined id; decompose to the
+                # (row, chunk) corner (see _BASE1).
+                bases = []
+                for (srow, chunk, lane_idx, oob, active, _inst) in preps:
+                    cid = jnp.min(jnp.where(
+                        active, srow * n_chunks_img + chunk, big
+                    ))
+                    bases.append(cid // n_chunks_img)
+                    bases.append(cid - (cid // n_chunks_img) * n_chunks_img)
             else:
                 bases = []
                 for (srow, chunk, lane_idx, oob, active, _inst) in preps:
@@ -788,7 +816,13 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
             union = _UNION_COMPS or K == 1
             tree_bounds = [None] * T
             walk_bounds = [None] * NI
-            if n_nodes > LANE and scalar_mins is not None:
+            n_chunks_lvl = (n_nodes + LANE - 1) // LANE
+            if n_nodes > LANE and n_chunks_lvl <= _STATIC_CHUNKS:
+                # Static full sweep: no bound reduces at all (see
+                # _STATIC_CHUNKS); comps_merged unrolls int bounds.
+                tree_bounds = [(0, n_chunks_lvl - 1)] * T
+                walk_bounds = [(0, n_chunks_lvl - 1)] * NI
+            elif n_nodes > LANE and scalar_mins is not None:
                 if union:
                     rows = []
                     for t in range(T):
@@ -858,7 +892,12 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
                     jnp.zeros((SUB, LANE), ref.dtype)
                     for ref in comp_refs for _ in range(kk)
                 )
-                flat = jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
+                if isinstance(c_lo, int) and isinstance(c_hi, int):
+                    flat = init
+                    for cix in range(c_lo, c_hi + 1):
+                        flat = body(cix, flat)
+                else:
+                    flat = jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
                 # -> [comp][tile]
                 return [
                     flat[c * kk : (c + 1) * kk]
