@@ -13,9 +13,12 @@ rebuilds the traversal around that primitive:
   bounds are computed per tile from the actual probe targets (min/max over
   the tile) — coherent hand pixels need only a handful of passes, while
   arbitrary inputs remain exact, just slower;
-* ``labels_reduce=2`` striding is handled by pre-splitting the padded image
-  into even/odd row planes so a stride-2 sublane window becomes a contiguous
-  (8, 128) slice;
+* adjacent image rows are PACKED into one i32 plane (row 2q in the low 16
+  bits, row 2q+1 in the high 16), so every window gather serves BOTH rows —
+  parity selection is two ~free shifts/selects instead of a second 13 ns
+  lane shuffle (scripts/try_opcost.py), and ``labels_reduce=2`` striding
+  falls out of the same layout (a stride-2 sublane window is a contiguous
+  packed slice);
 * node parameters and leaf pdfs are gathered from per-level SoA tables with
   the same chunk-shuffle pattern (dynamic chunk bounds over the tile's node
   ids);
@@ -44,8 +47,8 @@ MAX_UINT16 = 65535
 
 # Row apron above/below the image: NOT a sentinel region — out-of-bounds
 # probes are clamped + masked to 65535 in-register — but required so the
-# per-lane window start (yc + APRON_T - r*ii) is never negative and window
-# loads never run off the end.  16 = r_max * (SUB - 1) rounded to a sublane
+# per-lane window start (yc + APRON_T - 2*ii) is never negative and window
+# loads never run off the end.  16 = 2 * (SUB - 1) rounded to a sublane
 # multiple.  There is no column padding at all.
 APRON_T = 16
 APRON_B = 16
@@ -66,15 +69,8 @@ _NEUTER = tuple(
     s for s in os.environ.get("B3D_EVAL_NEUTER", "").split(",") if s
 )
 
-# Shared-base fast path (EXPERIMENT, off): ONE union (row, chunk) window
-# base for all 2T probes of a level instead of per-probe bases — 2 serial
-# cross-lane reduces per LEVEL instead of per probe, at the cost of wider
-# static windows (4 image rows x KC chunks) and a higher unserved-lane rate
-# feeding the exact cleanup.  End-to-end it LOSES: bench.py batched
-# throughput 392 fps shared vs 564 fps per-probe (the union base serves
-# fewer lanes, and the extra exact-cleanup sweeps cost more than the saved
-# reduces).  Kept behind the flag for re-testing if window geometry changes.
-_SHARED_BASE = os.environ.get("B3D_EVAL_SHARED", "0") == "1"
+# (A shared-base fast path — one union window base for all 2T probes of a
+# level — was tried and removed: 392 vs 564 fps batched, see git history.)
 
 # Static-window geometry of the per-probe fast path: _FAST_ROWS image rows
 # x _FAST_KC lane chunks.  A (SUB, LANE) label tile's own probe targets span
@@ -83,11 +79,12 @@ _SHARED_BASE = os.environ.get("B3D_EVAL_SHARED", "0") == "1"
 # chunk-boundary straddle) spills lanes into the exact-cleanup sweep.
 # Wider windows trade unconditional rolls+shuffles for fewer dynamic-trip
 # cleanup iterations; the best setting is model-dependent — benchmarked on
-# the trained flagship (scripts/ab_flagship_knobs.py): 8x3 36.7 ms vs 4x3
-# 44.0 ms vs 2x2 37.8 ms on 32 crops (deep trained levels diverge enough
-# that halving cleanup invocations beats fewer static candidates).
+# the trained flagship (scripts/ab_flagship_knobs.py) with packed planes:
+# 8x2 29.3 ms vs 8x3 30.7 / 8x1 33.0 / 4x2 32.5 / 16x2 33.0 on 32 crops
+# (deep trained levels diverge enough that cleanup avoidance beats fewer
+# static candidates, but a third chunk column is past the break-even).
 _FAST_ROWS = int(os.environ.get("B3D_EVAL_ROWS", "8"))
-_FAST_KC = int(os.environ.get("B3D_EVAL_KC", "3"))
+_FAST_KC = int(os.environ.get("B3D_EVAL_KC", "2"))
 
 # Exact-sweep iteration policy: 1 = needed-set min-extraction (default),
 # 0 = union bounding rectangle (see gather_probes_exact).
@@ -279,13 +276,14 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
     """Coordinate grids + the two gather primitives for K tiles processed by
     ONE grid step, shared by the single-forest and fused-layered kernels.
 
-    ``planes`` is a list of (even_ref, odd_ref) pairs and ``tytx`` a list of
-    (ty, tx) scalar tile indices, one per tile instance.  Probes passed to
-    the gather primitives are (yy, xx, active, inst) — ``inst`` (a python
-    int) names which tile's planes serve the probe.  Processing K tiles per
-    step lets every dynamic-trip sweep serve the UNION of the tiles' needs
-    (half the loop machinery) and fills the serial-latency bubbles of one
-    tile's reduce->load->shuffle chains with the other's independent work.
+    ``planes`` is a list of PACKED plane refs (row q = image rows 2q | 2q+1
+    << 16, see _prep_planes) and ``tytx`` a list of (ty, tx) scalar tile
+    indices, one per tile instance.  Probes passed to the gather primitives
+    are (yy, xx, active, inst) — ``inst`` (a python int) names which tile's
+    plane serves the probe.  Processing K tiles per step lets every
+    dynamic-trip sweep serve the UNION of the tiles' needs (half the loop
+    machinery) and fills the serial-latency bubbles of one tile's
+    reduce->load->shuffle chains with the other's independent work.
 
     ``scratch_ref`` is an optional (SUB, >=64) i32 VMEM scratch enabling the
     BATCHED scalar-min path: full cross-lane reduces cost ~200 ns each of
@@ -300,12 +298,13 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
     x_pxs = [(tx * LANE + jj) * r for (ty, tx) in tytx]
 
     if True:
-        # Static per-probe window geometry: 2 padded rows x KC chunks,
-        # fully unrolled — the common case runs with NO dynamic-trip loops
-        # (Mosaic can't software-pipeline those; measured 3.5x).
+        # Static per-probe window geometry: _FAST_ROWS image rows (half as
+        # many packed-plane rows) x KC chunks, fully unrolled — the common
+        # case runs with NO dynamic-trip loops (Mosaic can't
+        # software-pipeline those; measured 3.5x).
         n_chunks_img = (w + LANE - 1) // LANE
         KC = min(_FAST_KC, n_chunks_img)
-        max_half = (h + APRON_T - 1) // r
+        max_half = (h + APRON_T - 1) // 2
         big = jnp.int32(1 << 29)
 
         def scalar_mins(rows):
@@ -351,72 +350,11 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
             ]
             return pltpu.roll(blk, -off, 0)[0:SUB]
 
-        def _fast_shared(preps):
-            """Shared-base static windows: ONE (row, chunk) base from the
-            union of every probe's serve-masked minima — 2 cross-lane
-            reduces per call instead of 2 per probe — serving all probes
-            from 4 image rows x KC chunks.  Lanes outside go to ``over``
-            for the caller's exact cleanup (see _SHARED_BASE).  K=1 only."""
-            even_ref, odd_ref = planes[0]
-            n_srow = None
-            n_chunk = None
-            for (srow, chunk, lane_idx, oob, active, _inst) in preps:
-                rs = row_min(srow, active)
-                rc = row_min(chunk, active)
-                n_srow = rs if n_srow is None else jnp.minimum(n_srow, rs)
-                n_chunk = rc if n_chunk is None else jnp.minimum(n_chunk, rc)
-            sb = jnp.min(n_srow)
-            cb = jnp.clip(jnp.min(n_chunk), 0, n_chunks_img - KC)
-
-            # candidate rows: 4 consecutive padded image rows from the base
-            if r == 2:
-                half = jnp.clip(sb // 2, 0, max_half - 1)
-                rows = []
-                for dc in range(KC):
-                    for dh in range(2):
-                        rows.append(
-                            (2 * (half + dh),
-                             window(even_ref, half + dh, cb + dc))
-                        )
-                        rows.append(
-                            (2 * (half + dh) + 1,
-                             window(odd_ref, half + dh, cb + dc))
-                        )
-                lo_row = 2 * half
-                hi_row = 2 * half + 3
-            else:
-                s0 = jnp.clip(sb, 0, max_half - 3)
-                rows = []
-                for dc in range(KC):
-                    for dh in range(4):
-                        rows.append(
-                            (s0 + dh, window(even_ref, s0 + dh, cb + dc))
-                        )
-                lo_row = s0
-                hi_row = s0 + 3
-            kpc = len(rows) // KC  # candidates per chunk
-
-            accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
-            over = jnp.zeros((SUB, LANE), jnp.bool_)
-            overs = []
-            for p, (srow, chunk, lane_idx, oob, active, _inst) in enumerate(
-                    preps):
-                for k, (s_val, op) in enumerate(rows):
-                    cix = cb + k // kpc
-                    sel = (srow == s_val) & (chunk == cix)
-                    v = jnp.take_along_axis(op, lane_idx, axis=1)
-                    accs[p] = jnp.where(sel, v, accs[p])
-                over_p = active & (
-                    (srow < lo_row) | (srow > hi_row)
-                    | (chunk < cb) | (chunk > cb + (KC - 1))
-                )
-                overs.append(over_p)
-                over |= over_p
-
-            vals = tuple(
-                jnp.where(p[3], MAX_UINT16, v) for v, p in zip(accs, preps)
-            )
-            return vals, over, overs
+        def unpack2(v):
+            """(even, odd) image rows from one gathered packed vector: low
+            16 bits = even row, logical-shift high 16 = odd (sign-safe for
+            depth <= 65535)."""
+            return v & 0xFFFF, jax.lax.shift_right_logical(v, 16)
 
         def prep(yy, xx, active, inst, poison):
             """Shared probe prep: window-start row / chunk / lane of each
@@ -430,10 +368,14 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
             serve = active & ~oob
             yc = jnp.clip(yy, 0, h - 1)
             xc = jnp.clip(xx, 0, w - 1)
+            # srow: the lane's target in "window-start" coordinates — the
+            # packed-plane row p and parity par that serve it satisfy
+            # srow == 2p + par (a sublane-ii lane reads window row ii, i.e.
+            # packed row p + ii = image rows 2p + 2ii + par).
             if poison:
                 chunk = xc // LANE
                 lane_idx = xc - chunk * LANE
-                srow = yc + APRON_T - r * ii
+                srow = yc + APRON_T - 2 * ii
                 srow = jnp.where(serve, srow, big)
                 chunk = jnp.where(serve, chunk, big)
             else:
@@ -441,7 +383,7 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                 xc = jnp.where(serve, xc, x_pxs[inst])
                 chunk = xc // LANE
                 lane_idx = xc - chunk * LANE
-                srow = yc + APRON_T - r * ii  # padded-row window start
+                srow = yc + APRON_T - 2 * ii
             return srow, chunk, lane_idx, oob, serve, inst
 
         def gather_probes_fast(probes):
@@ -457,9 +399,6 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
             ``probes`` is a list of (yy, xx, active, inst)."""
             preps = [prep(yy, xx, act, inst, False)
                      for (yy, xx, act, inst) in probes]
-
-            if _SHARED_BASE:
-                return _fast_shared(preps)
 
             # Base from ACTIVE lanes only (inactive lanes sit at the tile's
             # own rows and would drag the window off-target).  All probes'
@@ -489,51 +428,35 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                     bases.append(jnp.min(jnp.where(active, srow, big)))
                     bases.append(jnp.min(jnp.where(active, chunk, big)))
 
+            nh = max(_FAST_ROWS // 2, 1)  # packed rows per window
             accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
             over = jnp.zeros((SUB, LANE), jnp.bool_)
             overs = []
             for p, (srow, chunk, lane_idx, oob, active, inst) in enumerate(
                     preps):
-                even_ref, odd_ref = planes[inst]
+                plane_ref = planes[inst]
                 sb = bases[2 * p]
                 cb = jnp.clip(bases[2 * p + 1], 0, n_chunks_img - KC)
-                if r == 2:
-                    nh = _FAST_ROWS // 2  # plane rows per parity
-                    half = jnp.clip(sb // 2, 0, max_half - nh)
-                    rows = []
-                    for dc in range(KC):
-                        for dh in range(nh):
-                            rows.append(
-                                (2 * (half + dh),
-                                 window(even_ref, half + dh, cb + dc))
-                            )
-                            rows.append(
-                                (2 * (half + dh) + 1,
-                                 window(odd_ref, half + dh, cb + dc))
-                            )
-                    lo_row = 2 * half
-                    hi_row = 2 * half + _FAST_ROWS - 1
-                else:
-                    s0 = jnp.clip(sb, 0, max_half - _FAST_ROWS + 1)
-                    rows = []
-                    for dc in range(KC):
-                        for dh in range(_FAST_ROWS):
-                            rows.append(
-                                (s0 + dh, window(even_ref, s0 + dh, cb + dc))
-                            )
-                    lo_row = s0
-                    hi_row = s0 + _FAST_ROWS - 1
-                kpc = len(rows) // KC
-                # Hoisted masks: the candidates repeat the same kpc row
-                # values across KC chunks, so 2 compares + an AND per
-                # candidate (3 * kpc * KC ops) collapse to kpc + KC compares
-                # + one AND per candidate.
-                row_masks = [srow == rows[dh][0] for dh in range(kpc)]
+                hb = jnp.clip(sb // 2, 0, max_half - nh)
+                rows = []
+                for dc in range(KC):
+                    for dh in range(nh):
+                        rows.append(window(plane_ref, hb + dh, cb + dc))
+                lo_row = 2 * hb
+                hi_row = 2 * hb + 2 * nh - 1
+                # Hoisted masks: candidates repeat the same nh packed-row
+                # values across KC chunks; each gathered packed vector
+                # serves BOTH parities via unpack2 (one shuffle, two ~free
+                # selects).
+                row_lo = [srow == 2 * (hb + dh) for dh in range(nh)]
+                row_hi = [srow == 2 * (hb + dh) + 1 for dh in range(nh)]
                 chunk_masks = [chunk == cb + dc for dc in range(KC)]
-                for k, (s_val, op) in enumerate(rows):
-                    sel = row_masks[k % kpc] & chunk_masks[k // kpc]
+                for k, op in enumerate(rows):
+                    cm = chunk_masks[k // nh]
                     v = jnp.take_along_axis(op, lane_idx, axis=1)
-                    accs[p] = jnp.where(sel, v, accs[p])
+                    lo, hi = unpack2(v)
+                    accs[p] = jnp.where(row_lo[k % nh] & cm, lo, accs[p])
+                    accs[p] = jnp.where(row_hi[k % nh] & cm, hi, accs[p])
                 over_p = active & (
                     (srow < lo_row) | (srow > hi_row)
                     | (chunk < cb) | (chunk > cb + (KC - 1))
@@ -575,42 +498,31 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                 """Serve every probe's lanes whose target falls in the
                 aligned 8-plane-row block at (b, chunk cix) — one plane load
                 per instance, all instances' probes per iteration."""
-                q = b * SUB  # aligned plane-row start of this block
+                q = b * SUB  # aligned packed-row start of this block
                 col = pl.ds(pl.multiple_of(cix * LANE, LANE), LANE)
                 rowsl = pl.ds(pl.multiple_of(q, SUB), 2 * SUB)
-                e16s = {s: planes[s][0][0, rowsl, col] for s in insts_used}
-                if r == 2:
-                    o16s = {s: planes[s][1][0, rowsl, col]
-                            for s in insts_used}
+                p16s = {s: planes[s][0, rowsl, col] for s in insts_used}
                 accs = list(accs)
                 inchunk = [p[1] == cix for p in preps]
-                srel = [p[0] - r * q for p in preps]  # block-relative start
+                srel = [p[0] - 2 * q for p in preps]  # block-relative start
                 for k in range(SUB):
-                    ops = {}
-                    rolled_e = {
-                        s: pltpu.roll(e16s[s], (2 * SUB - k) % (2 * SUB),
+                    rolled = {
+                        s: pltpu.roll(p16s[s], (2 * SUB - k) % (2 * SUB),
                                       0)[0:SUB]
                         for s in insts_used
                     }
-                    if r == 1:
-                        ops = {s: [(k, rolled_e[s])] for s in insts_used}
-                    else:
-                        rolled_o = {
-                            s: pltpu.roll(o16s[s], (2 * SUB - k) % (2 * SUB),
-                                          0)[0:SUB]
-                            for s in insts_used
-                        }
-                        ops = {
-                            s: [(2 * k, rolled_e[s]),
-                                (2 * k + 1, rolled_o[s])]
-                            for s in insts_used
-                        }
                     for pidx, (srow, chunk, lane_idx, oob, active,
                                inst) in enumerate(preps):
-                        for s_rel, op in ops[inst]:
-                            sel = (srel[pidx] == s_rel) & inchunk[pidx]
-                            v = jnp.take_along_axis(op, lane_idx, axis=1)
-                            accs[pidx] = jnp.where(sel, v, accs[pidx])
+                        # one shuffle serves both parities of packed row
+                        # q + k (image rows 2(q+k) and 2(q+k)+1)
+                        v = jnp.take_along_axis(
+                            rolled[inst], lane_idx, axis=1
+                        )
+                        lo, hi = unpack2(v)
+                        sel_lo = (srel[pidx] == 2 * k) & inchunk[pidx]
+                        sel_hi = (srel[pidx] == 2 * k + 1) & inchunk[pidx]
+                        accs[pidx] = jnp.where(sel_lo, lo, accs[pidx])
+                        accs[pidx] = jnp.where(sel_hi, hi, accs[pidx])
                 return tuple(accs)
 
             if _SWEEP_NEEDED:
@@ -626,7 +538,7 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                 nbs = [
                     jnp.where(
                         active,
-                        (srow // (SUB * r)) * n_chunks_img + chunk,
+                        (srow // (2 * SUB)) * n_chunks_img + chunk,
                         big,
                     )
                     for (srow, chunk, lane_idx, oob, active, _inst) in preps
@@ -674,8 +586,8 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                 c_hi = jnp.max(m_chunk)
                 c_lo = jnp.minimum(jnp.min(n_chunk), jnp.maximum(c_hi, 0))
                 nc = c_hi - c_lo + 1
-                b_lo = s_lo // (SUB * r)
-                b_hi = s_hi // (SUB * r)
+                b_lo = s_lo // (2 * SUB)
+                b_hi = s_hi // (2 * SUB)
                 total = (b_hi - b_lo + 1) * nc
 
                 got = jax.lax.fori_loop(
@@ -1181,39 +1093,38 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
 
 
 def _prep_planes(di, r, hl_pad, wl_pad):
-    """Row-apron pad + even/odd split + strided label-center image.
+    """Row-apron pad + adjacent-row i32 packing + strided label-center image.
 
     The apron is 16 rows top/bottom only (see APRON_T) — OOB probes are
     masked in-register, so no sentinel padding and NO column padding at all,
     keeping this XLA preamble an order of magnitude smaller than a sentinel
-    apron would be."""
+    apron would be.  Packed row q = padded image row 2q in the low 16 bits,
+    row 2q+1 in the high 16: one window gather serves both rows (and the
+    labels_reduce=2 stride falls out of the same layout), at half the plane
+    VMEM of the even/odd split it replaces."""
     n, h, w = di.shape
     hl, wl = h // r, w // r
-    # Each plane must be wide enough for whole-LANE window loads and tall
-    # enough for the deepest aligned 16-row window (max srow = h-1+APRON_T).
+    # The plane must be wide enough for whole-LANE window loads and tall
+    # enough for the deepest aligned 16-packed-row window
+    # (max srow = h-1+APRON_T in 2x packed units).
     w_pad = ((w + LANE - 1) // LANE) * LANE
-    plane_rows = (((h + APRON_T - 1) // r) // SUB) * SUB + 2 * SUB
-    pad_b = plane_rows * r - h - APRON_T
+    packed_rows = (((h + APRON_T - 1) // 2) // SUB) * SUB + 2 * SUB
+    pad_b = packed_rows * 2 - h - APRON_T
     padded = jnp.pad(di, ((0, 0), (APRON_T, pad_b), (0, w_pad - w)))
-    if r == 2:
-        depth_even = padded[:, 0::2, :]
-        depth_odd = padded[:, 1::2, :]
-    else:
-        depth_even = padded
-        depth_odd = padded
+    depth_packed = padded[:, 0::2, :] | (padded[:, 1::2, :] << 16)
     d_center = di[:, ::r, ::r]
     if hl_pad != hl or wl_pad != wl:
         d_center = jnp.pad(
             d_center, ((0, 0), (0, hl_pad - hl), (0, wl_pad - wl))
         )
-    return depth_even, depth_odd, d_center
+    return depth_packed, d_center
 
 
 def _make_kernel(num_trees, depth_levels, num_classes, counts, num_leaves,
                  r, h, w, write_all_eligible):
     """Single-forest kernel body with static config baked in."""
 
-    def kernel(scale_ref, fc_ref, even_ref, odd_ref, dc_ref, filt_ref, *args):
+    def kernel(scale_ref, fc_ref, packed_ref, dc_ref, filt_ref, *args):
         tables = args[: depth_levels * NCOMP]
         leaf_pdf_r = args[depth_levels * NCOMP]
         out_ref = args[depth_levels * NCOMP + 1]
@@ -1221,7 +1132,7 @@ def _make_kernel(num_trees, depth_levels, num_classes, counts, num_leaves,
 
         y_pxs, x_pxs, gather_image_multi, chunked_lookup, prims = (
             _tile_context(
-                [(even_ref, odd_ref)], r, h, w,
+                [packed_ref], r, h, w,
                 [(pl.program_id(1), pl.program_id(2))],
                 scratch_ref=scratch_ref,
             )
@@ -1262,7 +1173,7 @@ def _make_kernel(num_trees, depth_levels, num_classes, counts, num_leaves,
     ),
 )
 def _run_pallas(
-    depth_even, depth_odd, d_center, filt, scale, filter_class, tables_flat,
+    depth_packed, d_center, filt, scale, filter_class, tables_flat,
     *, dims, labels_reduce, write_all_eligible, interpret,
 ):
     (n, h, w, hl_pad, wl_pad, num_trees, depth_levels, num_classes,
@@ -1276,7 +1187,7 @@ def _run_pallas(
 
     grid = (n, hl_pad // SUB, wl_pad // LANE)
     plane_spec = pl.BlockSpec(
-        (1,) + depth_even.shape[1:],
+        (1,) + depth_packed.shape[1:],
         lambda nn, ty, tx: (nn, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -1295,11 +1206,6 @@ def _run_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             plane_spec,
-            pl.BlockSpec(
-                (1,) + depth_odd.shape[1:],
-                lambda nn, ty, tx: (nn, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
             tile_spec,
             tile_spec,
             *table_specs,
@@ -1308,7 +1214,7 @@ def _run_pallas(
         out_shape=jax.ShapeDtypeStruct((n, hl_pad, wl_pad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((SUB, 64), jnp.int32)],
         interpret=interpret,
-    )(scale, filter_class, depth_even, depth_odd, d_center, filt, *tables_flat)
+    )(scale, filter_class, depth_packed, d_center, filt, *tables_flat)
 
 
 @functools.partial(
@@ -1346,7 +1252,7 @@ def evaluate_forest_pallas(
     wl_pad = ((wl + LANE - 1) // LANE) * LANE
 
     di = depth.astype(jnp.int32)
-    depth_even, depth_odd, d_center = _prep_planes(di, r, hl_pad, wl_pad)
+    depth_packed, d_center = _prep_planes(di, r, hl_pad, wl_pad)
     if filter_images is not None:
         filt = jnp.pad(
             filter_images.astype(jnp.int32),
@@ -1366,8 +1272,7 @@ def evaluate_forest_pallas(
         counts, num_leaves,
     )
     out = _run_pallas(
-        depth_even,
-        depth_odd,
+        depth_packed,
         d_center,
         filt,
         jnp.full((1, 1), scale_factor, jnp.float32),
@@ -1405,14 +1310,14 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx,
     K = tile_k
 
     def kernel(idx_ref, scale_ref, *args):
-        # per-slot inputs: (even, odd, d_center) x K
+        # per-slot inputs: (packed plane, d_center) x K
         planes = []
         dcs = []
         pos = 0
         for s in range(K):
-            planes.append((args[pos], args[pos + 1]))
-            dcs.append(args[pos + 2])
-            pos += 3
+            planes.append(args[pos])
+            dcs.append(args[pos + 1])
+            pos += 2
         layer_tables = []
         layer_leaf_pdfs = []
         for (t, d, c, _counts, _nl) in metas:
@@ -1500,7 +1405,7 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx,
     ),
 )
 def _run_layered_pallas(
-    depth_even, depth_odd, d_center, scale, tables_flat,
+    depth_packed, d_center, scale, tables_flat,
     cond_flag, cond_val,
     *, dims, metas, filter_specs, labels_reduce, interpret, tile_k=1,
 ):
@@ -1515,7 +1420,7 @@ def _run_layered_pallas(
 
     # Tile compaction: only tiles holding at least one classifiable pixel get
     # a grid step.  flatnonzero keeps ascending order, so the hand index is
-    # monotone across steps and each even/odd plane is DMA'd into VMEM once
+    # monotone across steps and each packed plane is DMA'd into VMEM once
     # (and with K > 1 a step's K tiles are spatial neighbors, keeping the
     # unioned sweeps narrow).
     elig = (d_center != 0) & (d_center != MAX_UINT16)
@@ -1555,11 +1460,7 @@ def _run_layered_pallas(
     for s in range(K):
         slot_specs += [
             pl.BlockSpec(
-                (1,) + depth_even.shape[1:], plane_map_s(s),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1,) + depth_odd.shape[1:], plane_map_s(s),
+                (1,) + depth_packed.shape[1:], plane_map_s(s),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -1587,7 +1488,7 @@ def _run_layered_pallas(
 
     slot_inputs = []
     for _ in range(K):
-        slot_inputs += [depth_even, depth_odd, d_center]
+        slot_inputs += [depth_packed, d_center]
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1665,7 +1566,7 @@ def evaluate_layered_pallas(
     wl_pad = ((wl + LANE - 1) // LANE) * LANE
 
     di = depth.astype(jnp.int32)
-    depth_even, depth_odd, d_center = _prep_planes(di, r, hl_pad, wl_pad)
+    depth_packed, d_center = _prep_planes(di, r, hl_pad, wl_pad)
 
     cond_flag, cond_val = conditions_packed
     tables_flat = []
@@ -1675,7 +1576,7 @@ def evaluate_layered_pallas(
 
     dims = (n, h, w, hl_pad, wl_pad, num_cond)
     out = _run_layered_pallas(
-        depth_even, depth_odd, d_center,
+        depth_packed, d_center,
         jnp.full((1, 1), scale_factor, jnp.float32),
         tuple(tables_flat), cond_flag, cond_val,
         dims=dims, metas=tuple(metas), filter_specs=tuple(filter_specs),

@@ -48,7 +48,7 @@ def _make_kernel(p_total, h, w, nty, ntx, exact):
         ty = (flat // ntx) % nty
         tx = flat % ntx
         y_pxs, x_pxs, _, _, prims = _tile_context(
-            [(depth_ref, depth_ref)], 1, h, w, [(ty, tx)]
+            [depth_ref], 1, h, w, [(ty, tx)]
         )
         y_px, x_px = y_pxs[0], x_pxs[0]
         gather_fast, gather_exact = prims[0], prims[1]
@@ -142,10 +142,12 @@ def train_feature_bits(
     ntiles = n * nty * ntx
 
     di = depth.astype(jnp.int32)
-    # r=1 plane with the row apron (see forest_eval_pallas._prep_planes)
-    plane_rows = ((h + APRON_T - 1) // SUB) * SUB + 2 * SUB
-    pad_b = plane_rows - h - APRON_T
-    plane = jnp.pad(di, ((0, 0), (APRON_T, pad_b), (0, w_pad - w)))
+    # adjacent-row packed plane with the row apron (see
+    # forest_eval_pallas._prep_planes): one gather serves two image rows
+    packed_rows = (((h + APRON_T - 1) // 2) // SUB) * SUB + 2 * SUB
+    pad_b = packed_rows * 2 - h - APRON_T
+    padded = jnp.pad(di, ((0, 0), (APRON_T, pad_b), (0, w_pad - w)))
+    plane = padded[:, 0::2, :] | (padded[:, 1::2, :] << 16)
     d_center = jnp.pad(di, ((0, 0), (0, h_pad - h), (0, w_pad - w)))
 
     if active is None:
