@@ -79,12 +79,18 @@ _NEUTER = tuple(
 # chunk-boundary straddle) spills lanes into the exact-cleanup sweep.
 # Wider windows trade unconditional rolls+shuffles for fewer dynamic-trip
 # cleanup iterations; the best setting is model-dependent — benchmarked on
-# the trained flagship (scripts/ab_flagship_knobs.py) with packed planes:
-# 8x2 29.3 ms vs 8x3 30.7 / 8x1 33.0 / 4x2 32.5 / 16x2 33.0 on 32 crops
-# (deep trained levels diverge enough that cleanup avoidance beats fewer
-# static candidates, but a third chunk column is past the break-even).
-_FAST_ROWS = int(os.environ.get("B3D_EVAL_ROWS", "8"))
+# the trained flagship (scripts/ab_flagship_knobs.py).  With MULTI-PASS
+# anchored windows (see _FAST_PASSES) the optimum shifted narrow: each pass
+# serves one per-node cluster exactly, so the minimal 2-row window wins —
+# 2x2 23.3-23.8 ms vs 4x2 24.9 / 8x2 29.5 / 2x1 28.9 / 2x3 25.1 on 32
+# flagship crops.
+_FAST_ROWS = int(os.environ.get("B3D_EVAL_ROWS", "2"))
 _FAST_KC = int(os.environ.get("B3D_EVAL_KC", "2"))
+
+# Window geometry of the straggler re-passes (passes 2..N, see
+# _FAST_PASSES); defaults to the pass-1 geometry.
+_FAST_ROWS2 = int(os.environ.get("B3D_EVAL_ROWS2", str(_FAST_ROWS)))
+_FAST_KC2 = int(os.environ.get("B3D_EVAL_KC2", str(_FAST_KC)))
 
 # Exact-sweep iteration policy: 1 = needed-set min-extraction (default),
 # 0 = union bounding rectangle (see gather_probes_exact).
@@ -99,9 +105,23 @@ _UNION_COMPS = os.environ.get("B3D_EVAL_UNION", "1") == "1"
 # per-tree chunk-bound reduces and run a fully-unrolled STATIC sweep over
 # every chunk: 2 cross-lane reduces (serial ~latency) traded for <= N-1
 # extra straight-line load+shuffle iterations Mosaic can pipeline.  0
-# disables (always dynamic).  Default 4 (<= 512-node levels static) per
-# scripts/ab_flagship_knobs.py.
-_STATIC_CHUNKS = int(os.environ.get("B3D_EVAL_STATCHUNKS", "4"))
+# disables (always dynamic).  Default 16 (<= 2048-node levels static):
+# 16 -> 23.3 ms vs 8 -> 23.5 / 4 -> 24.9+ / 32 -> 23.6 on the flagship
+# sweep (scripts/ab_flagship_knobs.py).
+_STATIC_CHUNKS = int(os.environ.get("B3D_EVAL_STATCHUNKS", "16"))
+
+# Total anchored static-window passes: passes 2..N re-anchor on the previous
+# pass's straggler lanes INSIDE the exact-cleanup gate, before the needed-set
+# sweep (divergent trained levels cluster per node; each extra anchor serves
+# the next cluster at fast-path cost — 1 reduce + nh*KC loads per probe —
+# instead of the sweep's per-block 8-roll serve).  Coherent levels sit
+# outside the gate and pay pass 1 only.  Measured on the trained flagship
+# at 2x2 windows: 3 passes 22.95 ms, 2 passes 23.3-23.8, 4 passes 23.5,
+# 1 pass ~29.5 (scripts/ab_flagship_knobs.py).
+# B3D_EVAL_FAST2=0 is kept as an alias for PASSES=1.
+_FAST_PASSES = int(os.environ.get("B3D_EVAL_PASSES", "3"))
+if os.environ.get("B3D_EVAL_FAST2") == "0":
+    _FAST_PASSES = 1
 
 # 1 = ONE cross-lane reduce per probe in the fast path (min over the
 # combined srow * NC + chunk id; the window anchors at the minimum-id lane's
@@ -386,7 +406,7 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                 srow = yc + APRON_T - 2 * ii
             return srow, chunk, lane_idx, oob, serve, inst
 
-        def gather_probes_fast(probes):
+        def gather_probes_fast(probes, init_vals=None, rows=None, kc=None):
             """All probes' image values via STATIC windows only: _FAST_ROWS
             padded rows x KC chunks anchored at each probe's (min row, min
             chunk) — coherent probes (one node, narrow depth) are fully
@@ -396,7 +416,12 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
             (measured 20x on the training kernel).  Out-of-bounds probes are
             clamped into the image and masked to 65535 (tree_eval semantics:
             OOB reads "very far", decision_tree_common.hpp:8-28).
-            ``probes`` is a list of (yy, xx, active, inst)."""
+            ``probes`` is a list of (yy, xx, active, inst).
+
+            With ``init_vals`` this is a RE-PASS over a straggler subset
+            (probes' act masks name the stragglers): lanes the new windows
+            serve are merged into init_vals, everything else is kept — OOB
+            sentinels were already applied by the first pass."""
             preps = [prep(yy, xx, act, inst, False)
                      for (yy, xx, act, inst) in probes]
 
@@ -428,7 +453,8 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                     bases.append(jnp.min(jnp.where(active, srow, big)))
                     bases.append(jnp.min(jnp.where(active, chunk, big)))
 
-            nh = max(_FAST_ROWS // 2, 1)  # packed rows per window
+            nh = max((rows if rows is not None else _FAST_ROWS) // 2, 1)
+            kcl = min(kc, n_chunks_img) if kc is not None else KC
             accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
             over = jnp.zeros((SUB, LANE), jnp.bool_)
             overs = []
@@ -436,22 +462,22 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                     preps):
                 plane_ref = planes[inst]
                 sb = bases[2 * p]
-                cb = jnp.clip(bases[2 * p + 1], 0, n_chunks_img - KC)
+                cb = jnp.clip(bases[2 * p + 1], 0, n_chunks_img - kcl)
                 hb = jnp.clip(sb // 2, 0, max_half - nh)
-                rows = []
-                for dc in range(KC):
+                wins = []
+                for dc in range(kcl):
                     for dh in range(nh):
-                        rows.append(window(plane_ref, hb + dh, cb + dc))
+                        wins.append(window(plane_ref, hb + dh, cb + dc))
                 lo_row = 2 * hb
                 hi_row = 2 * hb + 2 * nh - 1
                 # Hoisted masks: candidates repeat the same nh packed-row
-                # values across KC chunks; each gathered packed vector
+                # values across kcl chunks; each gathered packed vector
                 # serves BOTH parities via unpack2 (one shuffle, two ~free
                 # selects).
                 row_lo = [srow == 2 * (hb + dh) for dh in range(nh)]
                 row_hi = [srow == 2 * (hb + dh) + 1 for dh in range(nh)]
-                chunk_masks = [chunk == cb + dc for dc in range(KC)]
-                for k, op in enumerate(rows):
+                chunk_masks = [chunk == cb + dc for dc in range(kcl)]
+                for k, op in enumerate(wins):
                     cm = chunk_masks[k // nh]
                     v = jnp.take_along_axis(op, lane_idx, axis=1)
                     lo, hi = unpack2(v)
@@ -459,14 +485,23 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                     accs[p] = jnp.where(row_hi[k % nh] & cm, hi, accs[p])
                 over_p = active & (
                     (srow < lo_row) | (srow > hi_row)
-                    | (chunk < cb) | (chunk > cb + (KC - 1))
+                    | (chunk < cb) | (chunk > cb + (kcl - 1))
                 )
                 overs.append(over_p)
                 over |= over_p
 
-            vals = tuple(
-                jnp.where(p[3], MAX_UINT16, v) for v, p in zip(accs, preps)
-            )
+            if init_vals is not None:
+                # re-pass merge: only lanes this pass's windows served (the
+                # probes' act masks already name the stragglers) override
+                vals = tuple(
+                    jnp.where(p[4] & ~ov, v, iv)
+                    for v, p, ov, iv in zip(accs, preps, overs, init_vals)
+                )
+            else:
+                vals = tuple(
+                    jnp.where(p[3], MAX_UINT16, v)
+                    for v, p in zip(accs, preps)
+                )
             return vals, over, overs
 
         def gather_probes_exact(probes, init_vals=None):
@@ -621,7 +656,21 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                     (yy, xx, act & overs[p], inst)
                     for p, (yy, xx, act, inst) in enumerate(probes)
                 ]
-                return gather_probes_exact(probes2, init_vals=list(vals_in))
+                vals_in = list(vals_in)
+                for _ in range(_FAST_PASSES - 1):
+                    # Extra anchored-window pass over the stragglers ONLY
+                    # (inside this gate, so coherent levels never pay it);
+                    # see _FAST_PASSES.
+                    vals_in, _, overs_n = gather_probes_fast(
+                        probes2, init_vals=vals_in,
+                        rows=_FAST_ROWS2, kc=_FAST_KC2,
+                    )
+                    vals_in = list(vals_in)
+                    probes2 = [
+                        (yy, xx, act & overs_n[p], inst)
+                        for p, (yy, xx, act, inst) in enumerate(probes2)
+                    ]
+                return gather_probes_exact(probes2, init_vals=vals_in)
 
             return jax.lax.fori_loop(
                 0, jnp.any(over).astype(jnp.int32), cleanup, vals
