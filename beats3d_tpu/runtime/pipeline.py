@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import PartitionSpec
+
 from ..models.layered import LayeredDecisionForest, run_layered
 from ..ops import components, meanshift, points, preproc_pallas
 
@@ -692,6 +694,34 @@ class FramePipeline:
             conditions_packed=self._cond_packed,
             num_cond=self._num_cond,
         )
+
+    def batch_sharded(self, raw_depths, plane_mat, mesh, axis: str = "data"):
+        """Multi-chip throughput path: frames sharded over ``mesh[axis]``.
+
+        Per-frame inference is embarrassingly data-parallel (the reference is
+        single-GPU by construction, SURVEY.md §2.6/§5.8): each chip runs the
+        full fused pipeline — preproc, grouping, crop, layered forest eval,
+        mean shift, fingertip heights — on its frame slice with the model
+        tables replicated, and no collectives are needed.  ``raw_depths``
+        (B, H, W) with B divisible by the axis size; returns the same dict as
+        :func:`frame_step_batched`, outputs sharded over the batch axis.
+        """
+        from jax import shard_map
+
+        def local(d, m):
+            return self.batch(d, m)
+
+        out_shapes = jax.eval_shape(local, raw_depths, plane_mat)
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(PartitionSpec(axis), PartitionSpec()),
+            out_specs=jax.tree.map(
+                lambda _: PartitionSpec(axis), out_shapes
+            ),
+            check_vma=False,
+        )
+        return fn(raw_depths, plane_mat)
 
     def batch(self, raw_depths, plane_mat):
         """Throughput path: (B, H, W) frames with one shared plane

@@ -91,3 +91,47 @@ def test_train_step_sharded_matches_single(rng):
     )
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
+
+
+def test_pipeline_batch_sharded_matches_batch(tmp_path, rng):
+    """The full fused inference pipeline, data-parallel over frames on the
+    mesh, must match the single-device batched path exactly (pure DP — no
+    collectives, per SURVEY.md §5.8)."""
+    import fixtures
+    from beats3d_tpu.models import LayeredDecisionForest
+    from beats3d_tpu.runtime.pipeline import FramePipeline, PipelineConfig
+    from beats3d_tpu.utils import CameraIntrinsics
+
+    H, W = 160, 256
+    intrin = CameraIntrinsics.d415(W, H)
+    cfg_path = fixtures.layered_cfg_fixture(str(tmp_path), rng)
+    model = LayeredDecisionForest.load(cfg_path, labels_reduce=2)
+    pipe = FramePipeline(
+        model, intrin,
+        cfg=PipelineConfig(height=H, width=W, labels_reduce=2,
+                           crop_h=96, crop_w=128),
+        group_min_size=0.01,
+    )
+
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    frames = []
+    for t in range(8):
+        d = np.full((H, W), 2600.0, np.float32)
+        r = int(0.12 * W)
+        for cx in (int(0.25 * W) + 2 * t, int(0.75 * W) - t):
+            d[(xx - cx) ** 2 + (yy - H / 2 - t) ** 2 < r * r] -= 300.0 + 4 * t
+        frames.append(d.astype(np.uint16))
+    frames = jnp.asarray(np.stack(frames))
+    plane = np.eye(4, dtype=np.float32)
+    plane[2, 3] = -2600.0
+    plane = jnp.asarray(plane)
+
+    want = pipe.batch(frames, plane)
+    mesh = make_mesh(n_data=4, n_model=2)
+    got = pipe.batch_sharded(frames, plane, mesh)
+    for k in ("labels", "g_info", "tip_valid", "tip_px"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+    np.testing.assert_allclose(
+        np.asarray(got["heights"]), np.asarray(want["heights"]),
+        rtol=1e-5, atol=1e-3,
+    )
