@@ -92,9 +92,15 @@ _FAST_KC = int(os.environ.get("B3D_EVAL_KC", "2"))
 _FAST_ROWS2 = int(os.environ.get("B3D_EVAL_ROWS2", str(_FAST_ROWS)))
 _FAST_KC2 = int(os.environ.get("B3D_EVAL_KC2", str(_FAST_KC)))
 
-# Exact-sweep iteration policy: 1 = needed-set min-extraction (default),
-# 0 = union bounding rectangle (see gather_probes_exact).
-_SWEEP_NEEDED = os.environ.get("B3D_EVAL_SWEEP", "1") == "1"
+# Exact-sweep iteration policy: 2 = needed-set min-extraction over single
+# PACKED-ROW window starts (default; ~3x cheaper per iteration — 1 roll + P
+# shuffles instead of 8 rolls + 8P shuffles — at ~1.5x the iterations and
+# serial min-extractions; 21.67 vs 23.48 ms on the flagship sweep, see
+# scripts/sim_sweep2.py + ab_flagship_knobs), 1 = needed-set over 8-row
+# BLOCKS, 0 = union bounding rectangle (see gather_probes_exact).
+_SWEEP_MODE = os.environ.get("B3D_EVAL_SWEEP", "2")
+_SWEEP_NEEDED = _SWEEP_MODE != "0"
+_SWEEP_ROW = _SWEEP_MODE == "2"
 
 # With tile_k > 1: 1 = one UNION chunk sweep per tree serving all K tiles
 # (fewer loops, wider ranges when the tiles diverge), 0 = per-tile sweeps
@@ -122,6 +128,18 @@ _STATIC_CHUNKS = int(os.environ.get("B3D_EVAL_STATCHUNKS", "16"))
 _FAST_PASSES = int(os.environ.get("B3D_EVAL_PASSES", "3"))
 if os.environ.get("B3D_EVAL_FAST2") == "0":
     _FAST_PASSES = 1
+
+# Deep trained levels have MANY per-node straggler clusters (one anchored
+# pass serves one cluster; the rest fall through to the needed-set sweep's
+# per-block 8-roll serve).  Levels >= _DEEP_LVL use _FAST_PASSES_DEEP total
+# passes instead — worth more anchors exactly where clusters multiply.
+_DEEP_LVL = int(os.environ.get("B3D_EVAL_DEEPLVL", "10"))
+_FAST_PASSES_DEEP = int(
+    os.environ.get("B3D_EVAL_PASSES_DEEP", str(_FAST_PASSES))
+)
+# Pass-1 window geometry at deep levels (straggler clusters spread further).
+_FAST_ROWS_DEEP = int(os.environ.get("B3D_EVAL_ROWS_DEEP", str(_FAST_ROWS)))
+_FAST_KC_DEEP = int(os.environ.get("B3D_EVAL_KC_DEEP", str(_FAST_KC)))
 
 # 1 = ONE cross-lane reduce per probe in the fast path (min over the
 # combined srow * NC + chunk id; the window anchors at the minimum-id lane's
@@ -560,20 +578,46 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                         accs[pidx] = jnp.where(sel_hi, hi, accs[pidx])
                 return tuple(accs)
 
+            def serve_row(q, cix, accs):
+                """Serve every probe's lanes whose window START is packed
+                row q of chunk cix (srow == 2q or 2q+1; sublane ii reads
+                packed row q+ii, exactly the fast path's window shape): one
+                aligned load + roll per instance, ONE shuffle per probe for
+                both parities.  ~3x cheaper per iteration than serve_block
+                at the cost of iterating distinct start rows instead of
+                8-row blocks."""
+                wins = {s: window(planes[s], q, cix) for s in insts_used}
+                accs = list(accs)
+                for pidx, (srow, chunk, lane_idx, oob, active,
+                           inst) in enumerate(preps):
+                    v = jnp.take_along_axis(wins[inst], lane_idx, axis=1)
+                    lo, hi = unpack2(v)
+                    sel = chunk == cix
+                    accs[pidx] = jnp.where(
+                        (srow == 2 * q) & sel, lo, accs[pidx]
+                    )
+                    accs[pidx] = jnp.where(
+                        (srow == 2 * q + 1) & sel, hi, accs[pidx]
+                    )
+                return tuple(accs)
+
             if _SWEEP_NEEDED:
                 # NEEDED-SET iteration: each straggler lane names the ONE
-                # (row-block, chunk) block that serves it; iterate exactly
-                # the distinct needed block ids by repeated min-extraction.
-                # The union rectangle this replaces paid one dynamic-trip
-                # iteration per CELL of the bounding box of all stragglers
-                # — ~2.7x more iterations than blocks actually needed on
-                # the flagship workload (scripts/sim_sweep.py), plus 4
+                # (row-block, chunk) block (or (packed-row, chunk) cell,
+                # _SWEEP_ROW) that serves it; iterate exactly the distinct
+                # needed ids by repeated min-extraction.  The union
+                # rectangle this replaces paid one dynamic-trip iteration
+                # per CELL of the bounding box of all stragglers — ~2.7x
+                # more iterations than blocks actually needed on the
+                # flagship workload (scripts/sim_sweep.py), plus 4
                 # cross-lane bounds reduces per call that the min-extract
                 # form does not need.
+                rdiv = 2 if _SWEEP_ROW else 2 * SUB
+                serve = serve_row if _SWEEP_ROW else serve_block
                 nbs = [
                     jnp.where(
                         active,
-                        (srow // (2 * SUB)) * n_chunks_img + chunk,
+                        (srow // rdiv) * n_chunks_img + chunk,
                         big,
                     )
                     for (srow, chunk, lane_idx, oob, active, _inst) in preps
@@ -585,7 +629,7 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
 
                 def body(carry):
                     m, rem, accs = carry
-                    accs = serve_block(
+                    accs = serve(
                         m // n_chunks_img, m % n_chunks_img, accs
                     )
                     rem = jnp.where(rem == m, big, rem)
@@ -636,15 +680,19 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                 jnp.where(p[3], MAX_UINT16, g) for g, p in zip(got, preps)
             )
 
-        def gather_image_multi(probes):
+        def gather_image_multi(probes, passes=None, rows=None, kc=None):
             """Fast static-window gather with a single self-contained exact
-            fallback gate (see gather_probes_fast/exact)."""
+            fallback gate (see gather_probes_fast/exact).  ``passes``
+            overrides the total anchored-pass count (see _FAST_PASSES /
+            _FAST_PASSES_DEEP); ``rows``/``kc`` override the pass-1 window
+            geometry."""
+            n_passes = _FAST_PASSES if passes is None else passes
             if "nofast" in _NEUTER:
                 # exact-only mode (correct): skips the fast path's 2 serial
                 # cross-lane reduces per probe, betting on the blocked
                 # sweep being as cheap for typical spans.
                 return gather_probes_exact(probes)
-            vals, over, overs = gather_probes_fast(probes)
+            vals, over, overs = gather_probes_fast(probes, rows=rows, kc=kc)
             if "noexact" in _NEUTER:
                 return vals
 
@@ -657,7 +705,7 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                     for p, (yy, xx, act, inst) in enumerate(probes)
                 ]
                 vals_in = list(vals_in)
-                for _ in range(_FAST_PASSES - 1):
+                for _ in range(n_passes - 1):
                     # Extra anchored-window pass over the stragglers ONLY
                     # (inside this gate, so coherent levels never pay it);
                     # see _FAST_PASSES.
@@ -952,7 +1000,13 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
                     y_pxs[p[3]] + x_pxs[p[3]] for p in probes
                 )
             else:
-                vals = gather_image_multi(probes)
+                deep = j >= _DEEP_LVL
+                vals = gather_image_multi(
+                    probes,
+                    passes=_FAST_PASSES_DEEP if deep else _FAST_PASSES,
+                    rows=_FAST_ROWS_DEEP if deep else None,
+                    kc=_FAST_KC_DEEP if deep else None,
+                )
 
             for t in range(T):
                 for s in range(K):

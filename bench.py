@@ -132,13 +132,23 @@ def main():
         # because both backends share the front.
         g = np.asarray(op["g_info"])
         groups_ok = bool(g[0, 0] > 0 and g[1, 0] > 0)
-        ok = mism == 0 and groups_ok
+        # Flagship golden on hardware: the committed trained D=16 model's
+        # labels (models/flagship/golden_eval.npz, recorded at r=1) must be
+        # reproduced by the COMPILED Pallas kernel (r=2 evaluation is an
+        # exact subsample of the r=1 golden).
+        fmodel = load_flagship()
+        gold = np.load(os.path.join(FLAGSHIP, "golden_eval.npz"))
+        fl = np.asarray(fmodel.run(jnp.asarray(gold["depth"]),
+                                   backend="pallas"))
+        fmism = int((fl != gold["labels"][:, ::2, ::2]).sum())
+        ok = mism == 0 and groups_ok and fmism == 0
         print(json.dumps({
             "metric": "pallas_xla_label_parity",
             "value": 1.0 if ok else 0.0,
             "unit": "bool",
             "mismatched_pixels": mism,
             "both_hands_found": groups_ok,
+            "flagship_golden_mismatches": fmism,
             "platform": jax.devices()[0].platform,
         }))
         sys.exit(0 if ok else 1)

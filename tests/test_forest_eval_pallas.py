@@ -190,3 +190,34 @@ def test_layered_tile_pairing_agrees(tmp_path, rng, monkeypatch):
     finally:
         layered_mod.forest_eval_pallas.evaluate_layered_pallas = orig
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_sweep_row_mode(rng, monkeypatch):
+    """Row-granularity needed-set sweep (B3D_EVAL_SWEEP=2) parity, with the
+    fast path disabled so every gather goes through the exact sweep."""
+    monkeypatch.setattr(fep, "_SWEEP_ROW", True)
+    monkeypatch.setattr(fep, "_NEUTER", ("nofast",))
+    depth = fixtures.random_depth_image(rng, 2, 24, 160)
+    forest = fixtures.random_forest_flat(rng, 3, 5, 5)
+    tables, meta = fep.pack_tables_pallas(forest)
+    want = oracle.eval_forest(depth, forest, 5, 5)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_deep_pass_knobs(rng, monkeypatch):
+    """Per-depth anchored-pass/window knobs must not change results."""
+    monkeypatch.setattr(fep, "_DEEP_LVL", 2)
+    monkeypatch.setattr(fep, "_FAST_PASSES_DEEP", 2)
+    monkeypatch.setattr(fep, "_FAST_ROWS_DEEP", 4)
+    monkeypatch.setattr(fep, "_FAST_KC_DEEP", 1)
+    depth = fixtures.random_depth_image(rng, 1, 24, 64)
+    forest = fixtures.random_forest_flat(rng, 2, 6, 4)
+    tables, meta = fep.pack_tables_pallas(forest)
+    want = oracle.eval_forest(depth, forest, 6, 4)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
