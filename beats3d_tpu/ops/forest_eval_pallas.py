@@ -97,10 +97,22 @@ _FAST_KC2 = int(os.environ.get("B3D_EVAL_KC2", str(_FAST_KC)))
 # shuffles instead of 8 rolls + 8P shuffles — at ~1.5x the iterations and
 # serial min-extractions; 21.67 vs 23.48 ms on the flagship sweep, see
 # scripts/sim_sweep2.py + ab_flagship_knobs), 1 = needed-set over 8-row
-# BLOCKS, 0 = union bounding rectangle (see gather_probes_exact).
+# BLOCKS, 0 = union bounding rectangle (see gather_probes_exact), 3 =
+# ANCHORED-PASS LOOP: a dynamic-trip loop of fast-path re-passes, each
+# anchored at the remaining stragglers' min id per probe (serves one
+# per-node cluster per probe per iteration at fast-path cost), bounded by
+# _ANCHOR_MAX iterations with the row sweep as the residual backstop.
 _SWEEP_MODE = os.environ.get("B3D_EVAL_SWEEP", "2")
 _SWEEP_NEEDED = _SWEEP_MODE != "0"
 _SWEEP_ROW = _SWEEP_MODE == "2"
+_SWEEP_ANCHOR = _SWEEP_MODE == "3"
+_ANCHOR_MAX = int(os.environ.get("B3D_EVAL_ANCHOR_MAX", "6"))
+
+# 1 = ONE window base per (u, v) probe PAIR of the same walk: the pair's
+# combined min id anchors a single window set serving both probes — halves
+# the per-level base-reduce count and window loads; divergent u/v offsets
+# spill the farther probe to the cleanup instead.
+_PAIR = os.environ.get("B3D_EVAL_PAIR", "0") == "1"
 
 # With tile_k > 1: 1 = one UNION chunk sweep per tree serving all K tiles
 # (fewer loops, wider ranges when the tiles diverge), 0 = per-tile sweeps
@@ -455,6 +467,24 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                     base_rows.append(row_min(srow, active))
                     base_rows.append(row_min(chunk, active))
                 bases = scalar_mins(base_rows)
+            elif _PAIR and len(preps) % 2 == 0:
+                # One base per (u, v) probe pair: the SAME python scalar
+                # objects are placed for both probes, so the serve loop's
+                # window cache (keyed on object identity) loads each
+                # window set once and serves both probes from it.
+                bases = [None] * (2 * len(preps))
+                for q in range(len(preps) // 2):
+                    p0, p1 = preps[2 * q], preps[2 * q + 1]
+                    cid0 = jnp.where(
+                        p0[4], p0[0] * n_chunks_img + p0[1], big
+                    )
+                    cid1 = jnp.where(
+                        p1[4], p1[0] * n_chunks_img + p1[1], big
+                    )
+                    cid = jnp.min(jnp.minimum(cid0, cid1))
+                    row = cid // n_chunks_img
+                    col = cid - row * n_chunks_img
+                    bases[4 * q : 4 * q + 4] = [row, col, row, col]
             elif _BASE1:
                 # One reduce per probe: min combined id; decompose to the
                 # (row, chunk) corner (see _BASE1).
@@ -476,16 +506,22 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
             accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
             over = jnp.zeros((SUB, LANE), jnp.bool_)
             overs = []
+            win_cache = {}  # (inst, id(sb), id(cb)) -> (wins, hb, cb)
             for p, (srow, chunk, lane_idx, oob, active, inst) in enumerate(
                     preps):
                 plane_ref = planes[inst]
-                sb = bases[2 * p]
-                cb = jnp.clip(bases[2 * p + 1], 0, n_chunks_img - kcl)
-                hb = jnp.clip(sb // 2, 0, max_half - nh)
-                wins = []
-                for dc in range(kcl):
-                    for dh in range(nh):
-                        wins.append(window(plane_ref, hb + dh, cb + dc))
+                ck = (inst, id(bases[2 * p]), id(bases[2 * p + 1]))
+                if ck in win_cache:
+                    wins, hb, cb = win_cache[ck]
+                else:
+                    sb = bases[2 * p]
+                    cb = jnp.clip(bases[2 * p + 1], 0, n_chunks_img - kcl)
+                    hb = jnp.clip(sb // 2, 0, max_half - nh)
+                    wins = []
+                    for dc in range(kcl):
+                        for dh in range(nh):
+                            wins.append(window(plane_ref, hb + dh, cb + dc))
+                    win_cache[ck] = (wins, hb, cb)
                 lo_row = 2 * hb
                 hi_row = 2 * hb + 2 * nh - 1
                 # Hoisted masks: candidates repeat the same nh packed-row
@@ -705,6 +741,60 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                     for p, (yy, xx, act, inst) in enumerate(probes)
                 ]
                 vals_in = list(vals_in)
+                if _SWEEP_ANCHOR:
+                    # Anchored-pass LOOP (_SWEEP_MODE 3): keep re-anchoring
+                    # fast-path windows on the remaining stragglers until
+                    # none remain — one per-node cluster served per probe
+                    # per iteration at fast-path cost — instead of a fixed
+                    # number of unconditional passes + the per-cell row
+                    # sweep.  Bounded by _ANCHOR_MAX (bottom-edge lanes can
+                    # sit just past the clipped window forever); the row
+                    # sweep mops up any residue.
+                    np_ = len(probes2)
+
+                    def w_cond(c):
+                        m = c[1]
+                        for mm in c[2 : 1 + np_]:
+                            m = jnp.maximum(m, mm)
+                        return jnp.logical_and(
+                            c[0] < _ANCHOR_MAX, jnp.max(m) > 0
+                        )
+
+                    def w_body(c):
+                        it = c[0]
+                        masks = list(c[1 : 1 + np_])
+                        vals = list(c[1 + np_ :])
+                        probes_i = [
+                            (probes2[p][0], probes2[p][1], masks[p] > 0,
+                             probes2[p][3])
+                            for p in range(np_)
+                        ]
+                        vals_n, _, overs_n = gather_probes_fast(
+                            probes_i, init_vals=vals,
+                            rows=_FAST_ROWS2, kc=_FAST_KC2,
+                        )
+                        masks_n = [
+                            ((masks[p] > 0) & overs_n[p]).astype(jnp.int32)
+                            for p in range(np_)
+                        ]
+                        return (it + 1,) + tuple(masks_n) + tuple(vals_n)
+
+                    init = (
+                        (jnp.int32(0),)
+                        + tuple(
+                            p2[2].astype(jnp.int32) for p2 in probes2
+                        )
+                        + tuple(vals_in)
+                    )
+                    out = jax.lax.while_loop(w_cond, w_body, init)
+                    masks = out[1 : 1 + np_]
+                    vals_in = list(out[1 + np_ :])
+                    probes2 = [
+                        (probes2[p][0], probes2[p][1], masks[p] > 0,
+                         probes2[p][3])
+                        for p in range(np_)
+                    ]
+                    return gather_probes_exact(probes2, init_vals=vals_in)
                 for _ in range(n_passes - 1):
                     # Extra anchored-window pass over the stragglers ONLY
                     # (inside this gate, so coherent levels never pay it);

@@ -221,3 +221,45 @@ def test_pallas_deep_pass_knobs(rng, monkeypatch):
         fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_anchor_loop_sweep(rng, monkeypatch):
+    """Anchored-pass-loop cleanup (B3D_EVAL_SWEEP=3) parity: stragglers are
+    served by dynamic re-anchored fast passes with the row sweep as the
+    residual backstop.  Random-offset forests maximize stragglers."""
+    monkeypatch.setattr(fep, "_SWEEP_ANCHOR", True)
+    depth = fixtures.random_depth_image(rng, 2, 24, 160)
+    forest = fixtures.random_forest_flat(rng, 3, 6, 5)
+    tables, meta = fep.pack_tables_pallas(forest)
+    want = oracle.eval_forest(depth, forest, 6, 5)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+    # tiny anchor budget: the exact backstop must pick up the remainder
+    monkeypatch.setattr(fep, "_ANCHOR_MAX", 1)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_paired_probe_bases(rng, monkeypatch):
+    """Pair-shared (u, v) probe window bases (B3D_EVAL_PAIR=1) parity: the
+    shared window serves whichever probe it covers; the rest must spill to
+    the cleanup, never mis-serve."""
+    monkeypatch.setattr(fep, "_PAIR", True)
+    depth = fixtures.random_depth_image(rng, 2, 24, 160)
+    forest = fixtures.random_forest_flat(rng, 3, 6, 5)
+    tables, meta = fep.pack_tables_pallas(forest)
+    want = oracle.eval_forest(depth, forest, 6, 5)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+    # pair + anchor loop together
+    monkeypatch.setattr(fep, "_SWEEP_ANCHOR", True)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
