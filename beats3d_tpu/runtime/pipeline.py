@@ -67,11 +67,28 @@ class PipelineConfig:
     # each tile's live depth range, so coherent frames are fast but an
     # adversarial incoherent frame (random depth everywhere) can cost ~100x.
     # When more than guard_tile_frac of the occupied label tiles have an
-    # in-tile depth spread above guard_spread (0.1 mm units), evaluation
-    # falls back to the XLA path inside the same jit, capping the worst
-    # case.  guard_spread <= 0 disables the guard.
+    # in-tile depth spread above guard_spread (0.1 mm units), that input is
+    # guarded.  guard_spread <= 0 disables the guard.  guard_mode picks the
+    # response:
+    #   "skip" (default): PER-IMAGE — incoherent hand images are zeroed
+    #     before the Pallas eval (tile compaction then skips them, ~0 cost),
+    #     so their labels come back 65535/means NaN/tips invalid while every
+    #     coherent image in the batch keeps full speed.  The right behavior
+    #     for a live instrument: a noise frame mutes for one frame instead
+    #     of stalling the stream ~100 ms.
+    #   "xla": batch-level lax.cond fallback to the (spread-insensitive,
+    #     exact) XLA evaluator for the WHOLE batch — the round-2 behavior,
+    #     kept for exactness-first offline use.
     guard_spread: int = 1500
     guard_tile_frac: float = 0.25
+    guard_mode: str = "skip"
+    # Per-frame crop->full fallback budget (batched path): up to
+    # fallback_budget frames whose hand exceeds the crop window are
+    # re-evaluated full-frame in a second guarded dispatch while the rest of
+    # the batch stays on the fast crop path; only when MORE frames overflow
+    # does the whole batch fall back (round-2 behavior).  0 disables the
+    # subset rescue.
+    fallback_budget: int = 2
     # Fuse plane-band + gaussian into one Pallas pass (ops.preproc_pallas).
     # Default on when running on TPU (set by FramePipeline); the XLA chain
     # is kept for CPU/tests.  Both eval backends share whichever preproc is
@@ -182,11 +199,11 @@ def _stencil_crops(depth1, grown, oys, oxs, cfg: PipelineConfig, h, w):
     return points.convert_0s_to_maxuint(jnp.stack([s_r, s_l]))
 
 
-def _incoherent(depth_imgs, r, cfg: PipelineConfig):
-    """True when the frame would blow up the Pallas kernel's dynamic probe
-    sweeps: the fraction of occupied (8, 128) label-grid tiles whose in-tile
-    valid-depth spread exceeds ``cfg.guard_spread`` is above
-    ``cfg.guard_tile_frac`` (see PipelineConfig.guard_spread)."""
+def _spread_tiles(depth_imgs, r, cfg: PipelineConfig):
+    """Per-(image, tile) (occupied, over-spread) masks for the worst-case
+    guard (see PipelineConfig.guard_spread): a tile is over-spread when its
+    valid-depth range exceeds ``cfg.guard_spread`` — the condition that blows
+    up the Pallas kernel's dynamic probe sweeps."""
     n = depth_imgs.shape[0]
     c = depth_imgs[:, ::r, ::r].astype(jnp.int32)
     hl, wl = c.shape[1], c.shape[2]
@@ -199,8 +216,27 @@ def _incoherent(depth_imgs, r, cfg: PipelineConfig):
     tmax = jnp.max(jnp.where(valid, t, -1), axis=(2, 4))
     occupied = tmax >= 0
     spread = occupied & ((tmax - tmin) > cfg.guard_spread)
+    return occupied, spread
+
+
+def _incoherent(depth_imgs, r, cfg: PipelineConfig):
+    """Batch-level guard predicate (guard_mode="xla"): True when the
+    over-spread fraction of occupied tiles ACROSS THE WHOLE STACK exceeds
+    ``cfg.guard_tile_frac``."""
+    occupied, spread = _spread_tiles(depth_imgs, r, cfg)
     n_occ = jnp.maximum(occupied.sum(), 1).astype(jnp.float32)
     return spread.sum().astype(jnp.float32) / n_occ > cfg.guard_tile_frac
+
+
+def _incoherent_images(depth_imgs, r, cfg: PipelineConfig):
+    """PER-IMAGE guard flags (guard_mode="skip"): (N,) bool, True for images
+    whose own over-spread tile fraction exceeds ``cfg.guard_tile_frac`` —
+    each hand image is judged alone, so one adversarial frame cannot
+    de-optimize its batchmates."""
+    occupied, spread = _spread_tiles(depth_imgs, r, cfg)
+    n_occ = jnp.maximum(occupied.sum(axis=(1, 2)), 1).astype(jnp.float32)
+    frac = spread.sum(axis=(1, 2)).astype(jnp.float32) / n_occ
+    return frac > cfg.guard_tile_frac
 
 
 def _crop_origins(grown, cfg: PipelineConfig, h, w):
@@ -320,10 +356,18 @@ def frame_step(
         )
 
     def eval_layers(depth_imgs):
-        # Worst-case guard (PipelineConfig.guard_spread): incoherent frames
-        # bypass the Pallas kernel for the spread-insensitive XLA path.
-        if (backend != "pallas" or layer_tables_xla is None
-                or cfg.guard_spread <= 0):
+        # Worst-case guard (PipelineConfig.guard_spread/guard_mode):
+        # incoherent images either get zeroed out per image ("skip") or the
+        # whole stack falls back to the spread-insensitive XLA path ("xla").
+        if backend != "pallas" or cfg.guard_spread <= 0:
+            return eval_layers_fast(depth_imgs)
+        if cfgv.guard_mode == "skip":
+            flags = _incoherent_images(depth_imgs, r, cfgv)
+            safe = jnp.where(
+                flags[:, None, None], jnp.zeros_like(depth_imgs), depth_imgs
+            )
+            return eval_layers_fast(safe)
+        if layer_tables_xla is None:
             return eval_layers_fast(depth_imgs)
 
         def eval_layers_xla(d):
@@ -498,9 +542,20 @@ def frame_step_batched(
         )
 
     def eval_layers(depth_imgs):
-        # Batch-level worst-case guard (PipelineConfig.guard_spread).
-        if (backend != "pallas" or layer_tables_xla is None
-                or cfgv.guard_spread <= 0):
+        # Worst-case guard (PipelineConfig.guard_spread/guard_mode).  In
+        # "skip" mode the guard is PER-IMAGE: incoherent hand images are
+        # zeroed (the compacted tile grid then skips them at ~0 cost, labels
+        # come back 65535/tips invalid) while coherent batchmates keep full
+        # speed — one adversarial frame no longer de-optimizes the batch.
+        if backend != "pallas" or cfgv.guard_spread <= 0:
+            return eval_layers_fast(depth_imgs)
+        if cfgv.guard_mode == "skip":
+            flags = _incoherent_images(depth_imgs, r, cfgv)
+            safe = jnp.where(
+                flags[:, None, None], jnp.zeros_like(depth_imgs), depth_imgs
+            )
+            return eval_layers_fast(safe)
+        if layer_tables_xla is None:
             return eval_layers_fast(depth_imgs)
 
         def eval_layers_xla(d):
@@ -547,7 +602,13 @@ def frame_step_batched(
         return labels_screen, means
 
     def crop_path(_):
-        lc = eval_layers(crops.reshape(2 * b, ch, cw)).reshape(
+        # Oversized-hand frames (rescued in a second dispatch below) get
+        # their crops ZEROED: tile compaction then skips them, so they cost
+        # ~nothing here and their garbage crops never reach the kernel.
+        crops_eff = jnp.where(
+            too_big[:, None, None, None], jnp.zeros_like(crops), crops
+        )
+        lc = eval_layers(crops_eff.reshape(2 * b, ch, cw)).reshape(
             b, 2, ch // r, cw // r
         )
 
@@ -580,9 +641,50 @@ def frame_step_batched(
         return labels_screen, means
 
     if use_crop:
-        labels, ms = jax.lax.cond(
-            jnp.any(too_big), full_path, crop_path, None
-        )
+        fb = min(cfgv.fallback_budget, b)
+        nbad = jnp.sum(too_big.astype(jnp.int32))
+
+        def crop_then_rescue(_):
+            """Crop path for the whole batch + a budgeted full-frame rescue
+            dispatch for the (<= fb) frames whose hand exceeds the crop
+            window — per-frame fallback granularity: a batch with one
+            oversized hand keeps crop-path speed for the other frames
+            instead of sending all of them down the full-res path."""
+            ops = crop_path(None)
+
+            def rescue(ops):
+                labels_c, ms_c = ops
+                ar = jnp.arange(b, dtype=jnp.int32)
+                idx = jnp.argsort(jnp.where(too_big, ar, b + ar))[:fb]
+                upd = too_big[idx]  # padding rows (clean frames) are no-ops
+                hand_depth = jax.vmap(
+                    lambda d1, gr: _full_stencils(d1, gr, cfgv)
+                )(depth1[idx], grown[idx])
+                lab = eval_layers(
+                    hand_depth.reshape(2 * fb, h, w)
+                ).reshape(fb, 2, hl, wl)
+                labs = jnp.stack(
+                    [lab[:, 0], points.flip_x(lab[:, 1])], axis=1
+                )
+                means_s = jax.vmap(jax.vmap(run_ms))(labs)
+                labels_out = labels_c.at[idx].set(
+                    jnp.where(upd[:, None, None, None], labs, labels_c[idx])
+                )
+                ms_out = ms_c.at[idx].set(
+                    jnp.where(upd[:, None, None, None], means_s, ms_c[idx])
+                )
+                return labels_out, ms_out
+
+            return jax.lax.cond(nbad == 0, lambda o: o, rescue, ops)
+
+        if fb > 0:
+            labels, ms = jax.lax.cond(
+                nbad <= fb, crop_then_rescue, full_path, None
+            )
+        else:
+            labels, ms = jax.lax.cond(
+                jnp.any(too_big), full_path, crop_path, None
+            )
     else:
         labels, ms = full_path(None)
 
@@ -650,10 +752,14 @@ class FramePipeline:
             self._metas = model.layer_metas()
             self._cond_packed = model.conditions_packed()
             self._num_cond = int(np.asarray(model.conditions_np).shape[0])
-            # XLA tables ride along for the in-jit worst-case guard
-            # (PipelineConfig.guard_spread).
+            # XLA tables ride along only for the "xla" guard mode's in-jit
+            # fallback; "skip" mode needs none (it zeroes guarded images
+            # instead), which also removes the XLA evaluator branch from the
+            # compiled program — less HBM and compile time.
             self._tables_xla = (
-                model.layer_tables() if self.cfg.guard_spread > 0 else None
+                model.layer_tables()
+                if self.cfg.guard_spread > 0 and self.cfg.guard_mode == "xla"
+                else None
             )
         else:
             self._tables = model.layer_tables()

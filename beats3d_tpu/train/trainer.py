@@ -431,6 +431,21 @@ class DecisionTreeTrainer:
         depth_blocks = []
         labels_blocks = []
         nodes_blocks = []
+        nodes_store = None
+        if not resident:
+            # Streaming mode keeps the mutable per-pixel node state
+            # zlib-compressed on the host, re-compressed after every level's
+            # advance — the reference's CompressedBlocksDynamic economy
+            # (compressed_blocks.py:9-93, rewritten at decision_tree.py:
+            # 442,465,510,596).  Node images are mostly -1 with coherent
+            # per-node runs, so they pack 20-60x; a 5k-image 848x480 dataset
+            # drops from ~8 GB of host node state to a few hundred MB.
+            from ..data.blocks import CompressedBlocksDynamic
+
+            nodes_store = CompressedBlocksDynamic(
+                self.num_image_blocks, self.images_per_block,
+                dataset.img_dims,
+            )
         node_counts = np.zeros((1 << d, c), dtype=np.int64)
         for i in range(self.num_image_blocks):
             lab = dataset.get_labels_block(i)
@@ -445,7 +460,7 @@ class DecisionTreeTrainer:
                 labels_blocks.append(jnp.asarray(lab))
                 nodes_blocks.append(jnp.asarray(nodes))
             else:
-                nodes_blocks.append(nodes)
+                nodes_store.write_block(i, nodes)
 
         def fetch(ib):
             """(depth, labels, nodes) device arrays for one image block."""
@@ -454,7 +469,7 @@ class DecisionTreeTrainer:
             return (
                 jnp.asarray(dataset.get_depth_block(ib)),
                 jnp.asarray(dataset.get_labels_block(ib)),
-                jnp.asarray(nodes_blocks[ib]),
+                jnp.asarray(nodes_store.get_block(ib)),
             )
 
         if self.mesh is not None:
@@ -598,9 +613,10 @@ class DecisionTreeTrainer:
             for ib in range(self.num_image_blocks):
                 d_b, _, n_b = fetch(ib)
                 advanced = _advance_step(d_b, n_b, level_params, level_status)
-                nodes_blocks[ib] = (
-                    advanced if resident else np.asarray(advanced)
-                )
+                if resident:
+                    nodes_blocks[ib] = advanced
+                else:
+                    nodes_store.write_block(ib, np.asarray(advanced))
             active = np.array(sorted(next_active), dtype=np.int32)
 
         return tree

@@ -160,7 +160,7 @@ def main():
     intrin = CameraIntrinsics.d415()
     model = load_flagship()
     pipe = FramePipeline(model, intrin)
-    B = 16
+    B = int(os.environ.get("B3D_BENCH_B", "16"))
     frames_np = np.stack([_scene_hands(intrin, t) for t in range(B)])
     frames = jnp.asarray(frames_np)
     depth = frames[0]
@@ -216,6 +216,39 @@ def main():
     np.asarray(ob["heights"])
     fps_batched = B * bi / (time.perf_counter() - t0)
 
+    # --- per-frame fallback granularity extras (VERDICT r2 #6) ---------
+    # One adversarial frame in the batch must NOT de-optimize its
+    # batchmates: frame 0 is replaced by (a) a hand too big for the crop
+    # window (-> budgeted full-frame rescue dispatch) and (b) pure noise
+    # (-> per-image guard skip).  Healthy = both stay >= ~80% of the
+    # clean-batch fps above.
+    rng = np.random.default_rng(0)
+    f_big = frames_np[0].copy()
+    yy, xx = np.mgrid[0 : intrin.height, 0 : intrin.width].astype(np.float32)
+    big_blob = (
+        ((xx - 0.45 * intrin.width) / 260.0) ** 2
+        + ((yy - 0.5 * intrin.height) / 200.0) ** 2
+    ) < 1.0
+    f_big[big_blob] = (f_big[big_blob].astype(np.int64) - 400).clip(1).astype(
+        np.uint16
+    )
+    f_noise = rng.integers(1, 60000, f_big.shape).astype(np.uint16)
+
+    def adv_fps(first_frame):
+        fr = jnp.asarray(
+            np.stack([first_frame] + [frames_np[i] for i in range(1, B)])
+        )
+        oa = pipe.batch(fr, plane_mat)
+        np.asarray(oa["heights"])
+        t0 = time.perf_counter()
+        for _ in range(6):
+            oa = pipe.batch(fr, plane_mat)
+        np.asarray(oa["heights"])
+        return B * 6 / (time.perf_counter() - t0)
+
+    fps_oversized = adv_fps(f_big)
+    fps_incoherent = adv_fps(f_noise)
+
     # --- adversarial extra: random-offset synthetic model, blob scene ---
     model_syn = _synthetic_layered_model("/tmp/graft_model")
     pipe_syn = FramePipeline(model_syn, intrin)
@@ -238,6 +271,8 @@ def main():
         "vs_baseline": round(fps_batched / 2000.0, 4),
         "model": "trained flagship (coarse D=8 T=4 -> fine D=16 T=4)",
         "fps_synthetic_model": round(fps_syn, 2),
+        "fps_one_oversized_frame": round(fps_oversized, 2),
+        "fps_one_incoherent_frame": round(fps_incoherent, 2),
         "fps_single_stream": round(fps_single, 2),
         "latency_ms_amortized": round(dt_single * 1e3, 2),
         "p50_latency_ms": round(p50_pipe, 2),

@@ -41,3 +41,23 @@ def test_disabled_guard_never_trips_pipeline_choice():
     # guard_spread <= 0 is the documented kill switch; the pipeline checks it
     # statically, so here we just pin that the config default is enabled.
     assert CFG.guard_spread > 0 and 0 < CFG.guard_tile_frac < 1
+
+
+def test_per_image_flags():
+    """guard_mode="skip" judges each image alone: noise flags, coherent and
+    empty images do not (one adversarial frame cannot de-optimize a batch)."""
+    from beats3d_tpu.runtime.pipeline import _incoherent_images
+
+    rng = np.random.default_rng(1)
+    d = np.full((3, 160, 256), 65535, np.uint16)
+    yy, xx = np.mgrid[0:160, 0:256]
+    blob = (yy - 80) ** 2 + (xx - 128) ** 2 < 60 ** 2
+    d[0, blob] = (2300 + yy[blob]).astype(np.uint16)
+    d[1] = rng.integers(1, 60000, (160, 256)).astype(np.uint16)
+    flags = np.asarray(_incoherent_images(jnp.asarray(d), 2, CFG))
+    assert flags.tolist() == [False, True, False]
+
+
+def test_guard_defaults():
+    cfg = PipelineConfig()
+    assert cfg.guard_mode == "skip" and cfg.fallback_budget == 2
