@@ -57,12 +57,15 @@ class PipelineConfig:
     fingertip_label_ids: Tuple[int, ...] = (2, 3, 4, 5, 6)  # 3d_bz.py:113
     # Per-hand crop window (full-res pixels) for forest eval.  The group
     # stencil zeroes everything outside the hand, so evaluating a crop that
-    # contains the whole (grown) group is EXACT — and ~5x less data touches
-    # the eval kernel + its padding preamble.  Falls back to the full frame
-    # when a hand's bbox exceeds the window.  Must be multiples of 16; crop
-    # is disabled when >= the frame dims (e.g. tiny test frames).
-    crop_h: int = 320
-    crop_w: int = 448
+    # contains the whole (grown) group is EXACT — and much less data touches
+    # the eval kernel + its padding preamble (kernel cost itself scales with
+    # occupied tiles, not canvas).  Falls back to the full frame when a
+    # hand's bbox exceeds the window.  Must be multiples of 16; crop is
+    # disabled when >= the frame dims (e.g. tiny test frames).  Sized for
+    # the articulated hand + forearm geometry (data/synth.py, bbox up to
+    # ~440 px tall).
+    crop_h: int = 448
+    crop_w: int = 512
     # Worst-case guard: the Pallas eval kernel adapts its probe sweeps to
     # each tile's live depth range, so coherent frames are fast but an
     # adversarial incoherent frame (random depth everywhere) can cost ~100x.

@@ -53,34 +53,18 @@ def _scene(intrin):
     return depth.astype(np.uint16)
 
 
-def _hand(depth, xx, yy, cx, cy, t, mirror):
-    """Palm + 5 fingers in the flagship model's trained geometry
-    (scripts/flagship_e2e.py scene); mirror=True flips finger direction for
-    the left hand (the pipeline mirrors it back before eval)."""
-    palm_r = 95.0
-    depth[(xx - cx) ** 2 + (yy - cy) ** 2 < palm_r ** 2] -= 320.0
-    s = -1.0 if mirror else 1.0
-    for k in range(5):
-        ang = np.pi * (0.75 + 0.125 * k) + 0.1 * np.sin(0.4 * t + k)
-        fx = cx + s * (palm_r + 55) * np.cos(ang)
-        fy = cy - (palm_r + 55) * abs(np.sin(ang))
-        tap = 0.5 + 0.5 * np.sin(0.5 * t + 1.3 * k)
-        fr = 26.0 + 2 * k
-        depth[(xx - fx) ** 2 + (yy - fy) ** 2 < fr ** 2] -= 340.0 + 40.0 * tap + 15 * k
-
-
 def _scene_hands(intrin, t):
-    """Two flagship-geometry hands over the tilted table: the right hand
-    (group 1, image-left) in model-native orientation, the left hand
-    (group 2, image-right) mirrored."""
-    h, w = intrin.height, intrin.width
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    n = np.array([0.02, -0.04, 1.0])
-    n /= np.linalg.norm(n)
-    depth = (2600.0 - n[0] * (xx - intrin.ppx) * 8 - n[1] * (yy - intrin.ppy) * 8) / n[2]
-    _hand(depth, xx, yy, 0.3 * w, h * 0.55, t, mirror=False)
-    _hand(depth, xx, yy, 0.7 * w, h * 0.55, t, mirror=True)
-    return depth.astype(np.uint16)
+    """Two ARTICULATED hands over the tilted table — the flagship model's
+    trained geometry (beats3d_tpu/data/synth.py: palm + forearm + jointed
+    3-segment fingers, random per-frame pose/flex/scale): the right hand
+    (group 1, image-left) model-native, the left hand (group 2,
+    image-right) mirrored, exactly the instrument's operating pose."""
+    from beats3d_tpu.data.synth import articulated_scene
+
+    depth, _ = articulated_scene(
+        intrin, np.random.default_rng(1000 + t), two_hands=True
+    )
+    return depth
 
 
 def load_flagship(tmp="/tmp/bench_flagship_model"):

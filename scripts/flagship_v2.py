@@ -46,165 +46,14 @@ PROPOSALS = 128
 PROPOSALS_BLOCK = 64
 IMAGES_PER_BLOCK = 4
 
-FINGER_COLORS = [
-    (220, 40, 40), (40, 220, 40), (40, 40, 220),
-    (220, 220, 40), (220, 40, 220),
-]
-PALM_COLOR = (210, 160, 120)
-
-
-def _rot2(a):
-    c, s = np.cos(a), np.sin(a)
-    return np.array([[c, -s], [s, c]], np.float32)
-
-
-def hand_cloud(rng, mirror=False):
-    """One articulated hand as (P, 3) float32 points (hand-local mm, y up
-    toward fingers, z = height above the table) + (P, 3) uint8 colors.
-
-    Palm: filled disk with a shallow dome.  Fingers: 3-segment capsule
-    chains; each joint flexes toward the palm plane (z drops and the segment
-    forshortens in-plane), so strongly flexed fingers fold OVER the palm and
-    the splat z-buffer occludes palm points underneath — real articulated
-    occlusion, not paint.
-    """
-    scale = rng.uniform(0.82, 1.25)
-    palm_r = 95.0 * scale
-    pts, cols = [], []
-
-    # palm: dense disk (upper surface), slight dome
-    n_p = 5200
-    rr = palm_r * np.sqrt(rng.uniform(0, 1, n_p))
-    th = rng.uniform(0, 2 * np.pi, n_p)
-    px = rr * np.cos(th)
-    py = rr * np.sin(th) * rng.uniform(0.88, 1.0)  # slightly oval
-    pz = 14.0 * scale * np.cos(np.clip(rr / palm_r, 0, 1) * np.pi / 2)
-    pts.append(np.stack([px, py, pz], 1))
-    cols.append(np.tile(np.array(PALM_COLOR, np.uint8), (n_p, 1)))
-
-    # forearm stub below the palm (labeled as palm—same part)
-    n_a = 2200
-    ax = rng.uniform(-0.55, 0.55, n_a) * palm_r
-    ay = -palm_r - rng.uniform(0, 1, n_a) * 150.0 * scale
-    az = np.full(n_a, 8.0 * scale)
-    pts.append(np.stack([ax, ay, az], 1).astype(np.float32))
-    cols.append(np.tile(np.array(PALM_COLOR, np.uint8), (n_a, 1)))
-
-    # fingers: 3-segment chains from the palm rim
-    for k in range(5):
-        base_ang = np.deg2rad(180.0 - (30.0 + 30.0 * k))  # spread across top
-        base_ang += rng.uniform(-0.09, 0.09)
-        if mirror:
-            base_ang = np.pi - base_ang
-        base = np.array(
-            [palm_r * np.cos(base_ang) * 0.95,
-             palm_r * np.sin(base_ang) * 0.95, 12.0 * scale], np.float32
-        )
-        seg_len = np.array([52.0, 36.0, 26.0]) * scale * (
-            1.0 + 0.22 * np.sin(np.pi * k / 4)
-        )
-        seg_rad = np.array([13.5, 11.5, 9.5]) * scale
-        # joint flex: 0 = flat, up to ~100 deg folds over the palm
-        flex = rng.uniform(0.0, 1.0)
-        j_ang = np.deg2rad(
-            np.array([
-                rng.uniform(-8, 20) + 62 * flex,
-                rng.uniform(0, 16) + 46 * flex,
-                rng.uniform(0, 10) + 28 * flex,
-            ])
-        )
-        # in-plane direction: away from the palm centre
-        dir2 = np.array([np.cos(base_ang), np.sin(base_ang)], np.float32)
-        pos = base.copy()
-        pitch = 0.0  # cumulative flex out of the palm plane
-        for s in range(3):
-            pitch += j_ang[s]
-            d3 = np.array(
-                [dir2[0] * np.cos(pitch), dir2[1] * np.cos(pitch),
-                 np.sin(pitch)], np.float32
-            )  # z up at first, folding over as pitch grows past 90
-            # flexing folds DOWN toward/over the palm: z component rises
-            # then the segment tips toward the palm; model fold-over by
-            # letting pitch > 90 deg reverse in-plane travel
-            n_s = int(130 * seg_len[s] / 40.0)
-            t = rng.uniform(0, 1, n_s)
-            ring = rng.uniform(0, np.pi, n_s)  # upper half circumference
-            off_axis = np.stack([-dir2[1], dir2[0], np.zeros_like(dir2[0])])
-            p = (
-                pos[None, :]
-                + t[:, None] * d3[None, :] * seg_len[s]
-                + np.cos(ring)[:, None] * off_axis[None, :] * seg_rad[s]
-            )
-            zz = p[:, 2] + np.sin(ring) * seg_rad[s] * 0.8 + seg_rad[s] * 0.4
-            pts.append(
-                np.stack([p[:, 0], p[:, 1], zz], 1).astype(np.float32)
-            )
-            cols.append(
-                np.tile(np.array(FINGER_COLORS[k], np.uint8), (n_s, 1))
-            )
-            pos = pos + d3 * seg_len[s]
-
-    return np.concatenate(pts).astype(np.float32), np.concatenate(cols)
+from beats3d_tpu.data.synth import (  # noqa: E402
+    FINGER_COLORS, PALM_COLOR, articulated_scene)
 
 
 def scene_v2(intrin, rng):
-    """One full-res articulated-hand frame: tilted table + one right hand in
-    random pose.  Returns (depth uint16, color uint8 HxWx3)."""
-    import jax.numpy as jnp
-    from beats3d_tpu.ops.render import splat_points, fill_holes
-
-    h, w = intrin.height, intrin.width
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    n = np.array([0.02, -0.04, 1.0])
-    n /= np.linalg.norm(n)
-    table_z = (
-        2600.0 - n[0] * (xx - intrin.ppx) * 8 - n[1] * (yy - intrin.ppy) * 8
-    ) / n[2]
-
-    local, cols = hand_cloud(rng)
-    # global pose: in-plane rotation + position + height above the table
-    rot = _rot2(rng.uniform(-0.6, 0.6))
-    xy = local[:, :2] @ rot.T
-    cx = rng.uniform(0.28, 0.72) * w
-    cy = rng.uniform(0.38, 0.72) * h
-    height = rng.uniform(260.0, 420.0)
-
-    # camera-space: pixel-projected table depth at the hand centre anchors z
-    zc = table_z[int(cy), int(cx)]
-    # hand-local mm -> camera mm (the scene is ~2.6 m away; RealSense scale
-    # is 0.1 mm units, consistent with the table function above: it is in
-    # DEPTH UNITS, so convert hand mm -> units by x8 like the table slope)
-    X = (cx - intrin.ppx) * zc / intrin.fx + xy[:, 0] * 8.0 / 8.0
-    Y = (cy - intrin.ppy) * zc / intrin.fy + xy[:, 1] * 8.0 / 8.0
-    Z = zc - height - local[:, 2]
-
-    # to the splat renderer's structured-cloud format
-    pts4 = np.zeros((local.shape[0], 4), np.float32)
-    pts4[:, 0] = X * intrin.fx / intrin.fx
-    pts4[:, 1] = Y
-    pts4[:, 2] = Z
-    pts4[:, 3] = 1.0
-    side = int(np.ceil(np.sqrt(pts4.shape[0])))
-    pad = side * side - pts4.shape[0]
-    pts_img = np.pad(pts4, ((0, pad), (0, 0))).reshape(side, side, 4)
-    cols_img = np.pad(cols, ((0, pad), (0, 0))).reshape(side, side, 3)
-
-    d_hand, c_hand = splat_points(
-        jnp.asarray(pts_img), jnp.asarray(cols_img),
-        jnp.asarray([intrin.ppx, intrin.ppy], np.float32),
-        jnp.float32(intrin.fx),
-    )
-    d_hand, c_hand = fill_holes(d_hand, c_hand)
-    d_hand, c_hand = fill_holes(d_hand, c_hand)
-    d_hand = np.asarray(d_hand)[:h, :w]
-    c_hand = np.asarray(c_hand)[:h, :w]
-
-    depth = table_z.astype(np.uint16)
-    color = np.zeros((h, w, 3), np.uint8)
-    on = (d_hand > 0) & (d_hand < depth)
-    depth[on] = d_hand[on]
-    color[on] = c_hand[on]
-    return depth, color
+    """One full-res articulated-hand frame (training generator: single
+    right hand, random pose) — see beats3d_tpu/data/synth.py."""
+    return articulated_scene(intrin, rng, two_hands=False)
 
 
 def rss_gb():
@@ -372,6 +221,13 @@ def main():
         shutil.copyfileobj(src, dst)
     os.remove(os.path.join(OUT, "m1.npy"))
 
+    old_session = None
+    try:
+        with open(os.path.join(OUT, "RESULTS.json")) as f:
+            old_session = json.load(f).get("bz3d_session")
+    except Exception:
+        pass
+
     summary = {
         "dataset": {
             "images": int(ds_cfg["num_images"]),
@@ -393,6 +249,8 @@ def main():
                           node_state="CompressedBlocksDynamic"),
         "max_rss_gb": round(rss_gb(), 2),
     }
+    if old_session:
+        summary["bz3d_session_r2"] = old_session
     with open(os.path.join(OUT, "RESULTS.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary), flush=True)
