@@ -90,6 +90,18 @@ class CompressedBlocksDynamic:
             zlib.decompress(self._blobs[i]), self.dtype
         ).reshape(self.shape)
 
+    @property
+    def raw_bytes(self) -> int:
+        return self.num_blocks * int(np.prod(self.shape)) * self.dtype.itemsize
+
+    @property
+    def compressed_bytes(self) -> int:
+        return sum(len(b) for b in self._blobs)
+
+    @property
+    def compression_ratio(self) -> float:
+        return self.raw_bytes / max(1, self.compressed_bytes)
+
 
 class CompressedDataset:
     """Dataset adapter with the trainer's block interface but zlib-compressed

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from beats3d_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 from scripts.profile_flagship_batch import load_flagship, B
-from scripts.flagship_e2e import scene
+from bench import _scene_hands
 from beats3d_tpu.runtime.pipeline import (
     FramePipeline, _preproc_front, _crop_origins, _stencil_crops)
 from beats3d_tpu.utils import CameraIntrinsics
@@ -30,11 +30,11 @@ model = load_flagship()
 pipe = FramePipeline(model, intrin)
 cfg = pipe.cfg
 h, w = intrin.height, intrin.width
-rng = np.random.default_rng(0)
-frames = jnp.asarray(np.stack([scene(intrin, t, rng)[0] for t in range(B)]))
-plane_mat = jnp.asarray(np.array(
-    [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2600.0], [0, 0, 0, 1]],
-    np.float32))
+frames = jnp.asarray(np.stack([_scene_hands(intrin, t) for t in range(B)]))
+from beats3d_tpu.ops import plane as plane_ops
+from beats3d_tpu.ops import points as points_ops
+pts = jax.jit(points_ops.deproject_points)(frames[0], pipe._pp, pipe._fx)
+plane_mat = plane_ops.CalibratedPlane(25000, 40.0).make(pts)
 
 def front(raw):
     depth1, grown, g_info, _ = _preproc_front(
