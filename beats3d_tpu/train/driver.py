@@ -21,8 +21,14 @@ def pct_match(pred_labels: np.ndarray, true_labels: np.ndarray) -> float:
     )
 
 
-def evaluate_tree_accuracy(tree_or_forest_flat: np.ndarray, test_depth, test_labels):
-    """Single-tree (or forest) eval on test images -> pct_match."""
+def evaluate_tree_accuracy(tree_or_forest_flat: np.ndarray, test_depth,
+                           test_labels, chunk: int = 2):
+    """Single-tree (or forest) eval on test images -> pct_match.
+
+    Evaluates ``chunk`` images at a time: the XLA evaluator keeps per-level
+    probe gathers live for the whole batch, so one call over a 16-image
+    full-res test block at D=16 wants ~50 G of HBM — chunking bounds the
+    live set (the counts are accumulated exactly)."""
     import jax.numpy as jnp
 
     flat = tree_or_forest_flat
@@ -32,11 +38,19 @@ def evaluate_tree_accuracy(tree_or_forest_flat: np.ndarray, test_depth, test_lab
     else:
         single = False
     packed = PackedForest.from_flat(flat)
-    if single:
-        pred = forest_eval.evaluate_tree(jnp.asarray(test_depth), packed.tables())
-    else:
-        pred = forest_eval.evaluate_forest(jnp.asarray(test_depth), packed.tables())
-    return pct_match(np.asarray(pred), np.asarray(test_labels))
+    match = labeled = 0
+    for lo in range(0, test_depth.shape[0], chunk):
+        d = jnp.asarray(test_depth[lo : lo + chunk])
+        if single:
+            pred = np.asarray(forest_eval.evaluate_tree(d, packed.tables()))
+        else:
+            pred = np.asarray(
+                forest_eval.evaluate_forest(d, packed.tables())
+            )
+        truth = test_labels[lo : lo + chunk]
+        match += int(np.sum(pred == truth))
+        labeled += int(np.sum(truth > 0))
+    return match / labeled
 
 
 def train_forest(

@@ -83,28 +83,38 @@ def main():
 
     # ---- 1. datagen: articulated hands, train/test from DISJOINT rng ----
     t0 = time.time()
-    if os.path.exists(DS):
-        shutil.rmtree(DS)
-    cfg = DatagenConfig(
-        num_colors=6, color_em_tries=6, color_em_iterations=24,
-        plane_candidates=8192, plane_z_threshold=40.0,
-        scale_variance=0.04, gaussian_noise=1.5,
-        max_images=n_total,
-    )
-    conv = LiveDataConvert(DS, intrin, cfg, rng=np.random.default_rng(3))
-    rng_train = np.random.default_rng(1001)
-    rng_test = np.random.default_rng(9901)  # unseen poses: disjoint stream
-    for t in range(n_total):
-        rng = rng_train if t < n_train else rng_test
-        depth, color = scene_v2(intrin, rng)
-        conv.process_frame(depth, color, depth_timestamp=t / 90.0,
-                           color_timestamp=t / 90.0 + 0.002)
-        if (t + 1) % 20 == 0:
-            print(f"[datagen] {t + 1}/{n_total} frames "
-                  f"({time.time() - t0:.0f}s)", flush=True)
-    ds_cfg = conv.finish()
-    print(f"[datagen] {ds_cfg['num_images']} full-res articulated frames in "
-          f"{time.time() - t0:.1f}s", flush=True)
+    reuse = os.environ.get("B3D_V2_REUSE") and os.path.exists(
+        os.path.join(DS, "config.json"))
+    if reuse:
+        # deterministic rng streams: an existing dataset is identical to
+        # what this run would regenerate — skip straight to training
+        with open(os.path.join(DS, "config.json")) as f:
+            ds_cfg = json.load(f)
+        assert ds_cfg["num_images"] == n_total, "dataset size mismatch"
+        print(f"[datagen] reusing {DS} ({n_total} frames)", flush=True)
+    else:
+        if os.path.exists(DS):
+            shutil.rmtree(DS)
+        cfg = DatagenConfig(
+            num_colors=6, color_em_tries=6, color_em_iterations=24,
+            plane_candidates=8192, plane_z_threshold=40.0,
+            scale_variance=0.04, gaussian_noise=1.5,
+            max_images=n_total,
+        )
+        conv = LiveDataConvert(DS, intrin, cfg, rng=np.random.default_rng(3))
+        rng_train = np.random.default_rng(1001)
+        rng_test = np.random.default_rng(9901)  # unseen poses: disjoint rng
+        for t in range(n_total):
+            rng = rng_train if t < n_train else rng_test
+            depth, color = scene_v2(intrin, rng)
+            conv.process_frame(depth, color, depth_timestamp=t / 90.0,
+                               color_timestamp=t / 90.0 + 0.002)
+            if (t + 1) % 20 == 0:
+                print(f"[datagen] {t + 1}/{n_total} frames "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+        ds_cfg = conv.finish()
+        print(f"[datagen] {ds_cfg['num_images']} full-res articulated "
+              f"frames in {time.time() - t0:.1f}s", flush=True)
 
     train_data, test_data = DatasetConfig.multiple(DS, [
         (n_train, IMAGES_PER_BLOCK, "train"),
