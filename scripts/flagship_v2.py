@@ -195,25 +195,38 @@ def main():
     )
 
     # ---- 5. held-out eval on unseen poses + goldens ----------------------
+    # (chunked: one 16-image full-res XLA run at D=16 keeps per-level
+    # gathers live -> ~50 G HBM; 2-image chunks bound the live set)
     from beats3d_tpu.models.layered import run_layered
 
     test_depth = test_data.get_depth_block(0)
     test_labels = test_data.get_labels_block(0)
     fs = tuple((l.filter_model, l.filter_model_class) for l in model.layers)
 
-    lab_x = np.asarray(run_layered(
-        jnp.asarray(test_depth), model.layer_tables(), model.conditions,
-        filter_specs=fs, labels_reduce=1, scale_factor=jnp.float32(1.0),
-        backend="xla",
-    ))
-    lab_p = np.asarray(run_layered(
-        jnp.asarray(test_depth), model.layer_tables_pallas(),
-        model.conditions, filter_specs=fs, labels_reduce=1,
-        scale_factor=jnp.float32(1.0), backend="pallas",
-        metas=model.layer_metas(),
-        conditions_packed=model.conditions_packed(),
-        num_cond=int(np.asarray(model.conditions_np).shape[0]),
-    ))
+    def eval_chunked(backend):
+        outs = []
+        for lo in range(0, test_depth.shape[0], 2):
+            d = jnp.asarray(test_depth[lo : lo + 2])
+            if backend == "xla":
+                o = run_layered(
+                    d, model.layer_tables(), model.conditions,
+                    filter_specs=fs, labels_reduce=1,
+                    scale_factor=jnp.float32(1.0), backend="xla",
+                )
+            else:
+                o = run_layered(
+                    d, model.layer_tables_pallas(), model.conditions,
+                    filter_specs=fs, labels_reduce=1,
+                    scale_factor=jnp.float32(1.0), backend="pallas",
+                    metas=model.layer_metas(),
+                    conditions_packed=model.conditions_packed(),
+                    num_cond=int(np.asarray(model.conditions_np).shape[0]),
+                )
+            outs.append(np.asarray(o))
+        return np.concatenate(outs)
+
+    lab_x = eval_chunked("xla")
+    lab_p = eval_chunked("pallas")
     mism = int((lab_x != lab_p).sum())
     labeled = test_labels > 0
     acc = float((lab_p[labeled] == test_labels[labeled]).mean())
