@@ -553,6 +553,15 @@ class DecisionTreeTrainer:
                             )
                         left = left + l_i
                         total = total + t_i
+                        if not resident and ib % 4 == 3:
+                            # Drain the async dispatch queue: fully async
+                            # streaming lets the runtime pin every shipped
+                            # block's host staging buffer until a sync, and
+                            # an entire deep-tree's worth of pinned uploads
+                            # (~25 GB/level-pass x levels) exhausts host
+                            # RAM.  A tiny dependent fetch every few blocks
+                            # bounds the in-flight set.
+                            jax.device_get(total[0, 0])
 
                     best_gain, best_params, best_left, best_right = (
                         _pick_best_step(
@@ -617,6 +626,24 @@ class DecisionTreeTrainer:
                     nodes_blocks[ib] = advanced
                 else:
                     nodes_store.write_block(ib, np.asarray(advanced))
+            if not resident:
+                # release per-level transfer staging promptly (see the
+                # in-loop drain above); also surface host-RAM growth so a
+                # staging leak is visible in the training log
+                import gc
+
+                gc.collect()
+                if level % 4 == 0:
+                    rss = 0
+                    try:
+                        with open("/proc/self/status") as f:
+                            for ln in f:
+                                if ln.startswith("VmRSS"):
+                                    rss = int(ln.split()[1])
+                    except OSError:
+                        pass
+                    print(f"    [stream] level {level} done, "
+                          f"rss={rss / 1e6:.1f}G", flush=True)
             active = np.array(sorted(next_active), dtype=np.int32)
 
         return tree
