@@ -525,6 +525,7 @@ class DecisionTreeTrainer:
                     use_matmul = w2 * c <= self.matmul_bins_limit
                     left = jnp.zeros((self.proposals_per_block, w2, c), jnp.int32)
                     total = jnp.zeros((w2, c), jnp.int32)
+                    in_flight = []
                     for ib in range(self.num_image_blocks):
                         d_b, l_b, n_b = fetch(ib)
                         if self.mesh is not None:
@@ -553,15 +554,22 @@ class DecisionTreeTrainer:
                             )
                         left = left + l_i
                         total = total + t_i
-                        if not resident and ib % 4 == 3:
-                            # Drain the async dispatch queue: fully async
-                            # streaming lets the runtime pin every shipped
-                            # block's host staging buffer until a sync, and
-                            # an entire deep-tree's worth of pinned uploads
-                            # (~25 GB/level-pass x levels) exhausts host
-                            # RAM.  A tiny dependent fetch every few blocks
-                            # bounds the in-flight set.
-                            jax.device_get(total[0, 0])
+                        if not resident:
+                            # Bound host staging: fully-async streaming
+                            # pins every shipped block's host buffer, and a
+                            # deep tree's uploads (~25 GB/level-pass x
+                            # levels) exhaust host RAM.  Sync every few
+                            # blocks, then EXPLICITLY delete the consumed
+                            # device arrays — on the axon runtime the
+                            # staging is only released when the device
+                            # buffer dies, not at the sync.
+                            in_flight.append((d_b, l_b, n_b))
+                            if ib % 4 == 3:
+                                jax.device_get(total[0, 0])
+                                for arrs in in_flight:
+                                    for a in arrs:
+                                        a.delete()
+                                in_flight = []
 
                     best_gain, best_params, best_left, best_right = (
                         _pick_best_step(
@@ -620,12 +628,14 @@ class DecisionTreeTrainer:
             level_params = jnp.asarray(lvl[:, 0:5])
             level_status = jnp.asarray(np.floor(lvl[:, 5:7]).astype(np.int32))
             for ib in range(self.num_image_blocks):
-                d_b, _, n_b = fetch(ib)
+                d_b, l_b, n_b = fetch(ib)
                 advanced = _advance_step(d_b, n_b, level_params, level_status)
                 if resident:
                     nodes_blocks[ib] = advanced
                 else:
                     nodes_store.write_block(ib, np.asarray(advanced))
+                    for a in (d_b, l_b, n_b, advanced):
+                        a.delete()
             if not resident:
                 # release per-level transfer staging promptly (see the
                 # in-loop drain above); also surface host-RAM growth so a
