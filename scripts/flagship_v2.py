@@ -161,14 +161,24 @@ def main():
           f"{coarse.pct_match:.4f} in {t_coarse:.1f}s  rss={rss_gb():.2f}G",
           flush=True)
 
-    # ---- 3. fine 6-class layer at flagship depth, streaming -------------
+    # ---- 3. fine 6-class layer at flagship depth ------------------------
+    # Host-side the dataset stays zlib-compressed (CompressedDataset);
+    # device-side the fine layer runs RESIDENT (decompress-once per tree,
+    # ~0.8 GB HBM) rather than shipping blocks per use: on this rig the
+    # axon tunnel's client retains upload staging past both syncs and
+    # explicit buffer deletes (measured +1.3 GB host RSS per level,
+    # ~37 GB/tree -> host OOM; see trainer.py drain/delete mitigations and
+    # the training-log rss lines).  True per-use streaming remains the
+    # >HBM path on non-tunneled hosts (the coarse layer above trains with
+    # it end-to-end) and is forced here with B3D_V2_STREAM_FINE=1.
     t0 = time.time()
     fine = train_forest(
         comp_train, test_data,
         num_random_features=PROPOSALS, proposals_per_block=PROPOSALS_BLOCK,
         images_per_block=IMAGES_PER_BLOCK, max_tree_depth=FINE_DEPTH,
         trees_in_forest=TREES, trees_to_try=TREES,
-        rng=np.random.default_rng(13), streaming=True,
+        rng=np.random.default_rng(13),
+        streaming=bool(os.environ.get("B3D_V2_STREAM_FINE")),
     )
     t_fine = time.time() - t0
     print(f"[fine] D={FINE_DEPTH} T={TREES} pct_match={fine.pct_match:.4f} "
@@ -268,8 +278,13 @@ def main():
                  "train_seconds": round(t_fine, 1)},
         "layered_pct_match_unseen": round(acc, 4),
         "pallas_xla_mismatches": mism,
-        "streaming": dict(comp_stats, forced=True,
-                          node_state="CompressedBlocksDynamic"),
+        "streaming": dict(
+            comp_stats,
+            coarse_layer="true per-use streaming (compressed blocks + "
+                         "CompressedBlocksDynamic node state)",
+            fine_layer="resident-from-compressed (axon client retains "
+                       "upload staging ~1.3 GB/level; see ROADMAP)",
+        ),
         "max_rss_gb": round(rss_gb(), 2),
     }
     if old_session:
