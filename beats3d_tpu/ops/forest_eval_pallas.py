@@ -114,6 +114,14 @@ _ANCHOR_MAX = int(os.environ.get("B3D_EVAL_ANCHOR_MAX", "6"))
 # spill the farther probe to the cleanup instead.
 _PAIR = os.environ.get("B3D_EVAL_PAIR", "0") == "1"
 
+# 1 = NEEDED-SET node-table sweeps: the dynamic comps/leaf-pdf chunk sweeps
+# iterate exactly the distinct chunks the tile's lanes NEED (repeated
+# min-extraction, the image row sweep's proven pattern) instead of the
+# [min..max] span.  Wide trained levels (hundreds-thousands of evaluated
+# nodes, 16k+ leaves on the articulated flagship) make a divergent tile's
+# span tens of chunks while it needs only a handful.
+_NEED_SWEEP = os.environ.get("B3D_EVAL_NEED", "0") == "1"
+
 # With tile_k > 1: 1 = one UNION chunk sweep per tree serving all K tiles
 # (fewer loops, wider ranges when the tiles diverge), 0 = per-tile sweeps
 # (narrow ranges, pure cross-tile ILP).  A/B knob for the pairing experiment.
@@ -995,6 +1003,33 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
                     flat = init
                     for cix in range(c_lo, c_hi + 1):
                         flat = body(cix, flat)
+                elif _NEED_SWEEP:
+                    # needed-set: iterate exactly the distinct chunks any
+                    # lane needs (min-extraction); wide divergent levels
+                    # pay per NEEDED chunk, not per span chunk
+                    big = jnp.int32(1 << 29)
+                    rem0 = jnp.concatenate(
+                        [
+                            jnp.where(a, ch, big)
+                            for ch, a in zip(chunks, act_list)
+                        ],
+                        axis=0,
+                    )
+
+                    def n_cond(carry):
+                        return carry[0] < big
+
+                    def n_body(carry):
+                        m = carry[0]
+                        rem = carry[1]
+                        accs = body(m, tuple(carry[2:]))
+                        rem = jnp.where(rem == m, big, rem)
+                        return (jnp.min(rem), rem) + tuple(accs)
+
+                    out = jax.lax.while_loop(
+                        n_cond, n_body, (jnp.min(rem0), rem0) + init
+                    )
+                    flat = tuple(out[2:])
                 else:
                     flat = jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
                 # -> [comp][tile]
@@ -1255,11 +1290,40 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
                             pos += 1
                     return tuple(out)
 
-                vals = jax.lax.fori_loop(
-                    c_lo, c_hi + 1, body,
-                    tuple(jnp.zeros((SUB, LANE), jnp.float32)
-                          for _ in range(num_classes * kk)),
+                init = tuple(
+                    jnp.zeros((SUB, LANE), jnp.float32)
+                    for _ in range(num_classes * kk)
                 )
+                if _NEED_SWEEP:
+                    # needed-set sweep over the tile's distinct leaf chunks
+                    # (16k+ leaves/tree on the articulated flagship: a
+                    # divergent tile's [min..max] span is tens-of-chunks
+                    # wide while only a few are occupied)
+                    bigp = jnp.int32(1 << 29)
+                    rem0 = jnp.concatenate(
+                        [
+                            jnp.where(acts[s * T + t], chunks_l[si], bigp)
+                            for si, s in enumerate(s_list)
+                        ],
+                        axis=0,
+                    )
+
+                    def p_cond(carry):
+                        return carry[0] < bigp
+
+                    def p_body(carry):
+                        m = carry[0]
+                        rem = carry[1]
+                        accs = body(m, tuple(carry[2:]))
+                        rem = jnp.where(rem == m, bigp, rem)
+                        return (jnp.min(rem), rem) + tuple(accs)
+
+                    out = jax.lax.while_loop(
+                        p_cond, p_body, (jnp.min(rem0), rem0) + init
+                    )
+                    vals = tuple(out[2:])
+                else:
+                    vals = jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
                 for k in range(num_classes):
                     for si, s in enumerate(s_list):
                         i = s * T + t

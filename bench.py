@@ -53,16 +53,23 @@ def _scene(intrin):
     return depth.astype(np.uint16)
 
 
-def _scene_hands(intrin, t):
+def _scene_hands(intrin, t, flex_scale=0.3):
     """Two ARTICULATED hands over the tilted table — the flagship model's
     trained geometry (beats3d_tpu/data/synth.py: palm + forearm + jointed
-    3-segment fingers, random per-frame pose/flex/scale): the right hand
+    3-segment fingers, random per-frame pose/spread/scale): the right hand
     (group 1, image-left) model-native, the left hand (group 2,
-    image-right) mirrored, exactly the instrument's operating pose."""
+    image-right) mirrored.
+
+    The HEADLINE scene uses the instrument's operating pose — fingers
+    mostly extended over the table, as a player holds them (flex 0.3); the
+    ``fps_full_pose_range`` extra re-measures with the full training flex
+    range (fully-curled fingers folded over the palm), whose dense internal
+    depth edges are the Pallas kernel's worst realistic case."""
     from beats3d_tpu.data.synth import articulated_scene
 
     depth, _ = articulated_scene(
-        intrin, np.random.default_rng(1000 + t), two_hands=True
+        intrin, np.random.default_rng(1000 + t), two_hands=True,
+        flex_scale=flex_scale,
     )
     return depth
 
@@ -233,6 +240,18 @@ def main():
     fps_oversized = adv_fps(f_big)
     fps_incoherent = adv_fps(f_noise)
 
+    # --- full pose range: fully-curled fingers (training distribution) ---
+    frames_hard = jnp.asarray(
+        np.stack([_scene_hands(intrin, t, flex_scale=1.0) for t in range(B)])
+    )
+    oh = pipe.batch(frames_hard, plane_mat)
+    np.asarray(oh["heights"])
+    t0 = time.perf_counter()
+    for _ in range(6):
+        oh = pipe.batch(frames_hard, plane_mat)
+    np.asarray(oh["heights"])
+    fps_full_pose = B * 6 / (time.perf_counter() - t0)
+
     # --- adversarial extra: random-offset synthetic model, blob scene ---
     model_syn = _synthetic_layered_model("/tmp/graft_model")
     pipe_syn = FramePipeline(model_syn, intrin)
@@ -257,6 +276,7 @@ def main():
         "fps_synthetic_model": round(fps_syn, 2),
         "fps_one_oversized_frame": round(fps_oversized, 2),
         "fps_one_incoherent_frame": round(fps_incoherent, 2),
+        "fps_full_pose_range": round(fps_full_pose, 2),
         "fps_single_stream": round(fps_single, 2),
         "latency_ms_amortized": round(dt_single * 1e3, 2),
         "p50_latency_ms": round(p50_pipe, 2),

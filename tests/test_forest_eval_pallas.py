@@ -263,3 +263,19 @@ def test_pallas_paired_probe_bases(rng, monkeypatch):
         fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_needed_set_table_sweeps(rng, monkeypatch):
+    """Needed-set comps/leaf-pdf chunk sweeps (B3D_EVAL_NEED=1) parity on a
+    deep multi-chunk forest (dynamic-bounds path) with the static-chunk
+    threshold lowered so mid-width levels take the dynamic path too."""
+    monkeypatch.setattr(fep, "_NEED_SWEEP", True)
+    monkeypatch.setattr(fep, "_STATIC_CHUNKS", 1)
+    depth = fixtures.random_depth_image(rng, 1, 16, 24)
+    deep = fixtures.random_forest_flat(rng, 2, 10, 4, leaf_prob=0.05)
+    tables, meta = fep.pack_tables_pallas(deep)
+    want = oracle.eval_forest(depth, deep, 10, 4)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
