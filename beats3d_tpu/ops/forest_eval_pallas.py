@@ -92,17 +92,18 @@ _FAST_KC = int(os.environ.get("B3D_EVAL_KC", "2"))
 _FAST_ROWS2 = int(os.environ.get("B3D_EVAL_ROWS2", str(_FAST_ROWS)))
 _FAST_KC2 = int(os.environ.get("B3D_EVAL_KC2", str(_FAST_KC)))
 
-# Exact-sweep iteration policy: 2 = needed-set min-extraction over single
-# PACKED-ROW window starts (default; ~3x cheaper per iteration — 1 roll + P
-# shuffles instead of 8 rolls + 8P shuffles — at ~1.5x the iterations and
-# serial min-extractions; 21.67 vs 23.48 ms on the flagship sweep, see
-# scripts/sim_sweep2.py + ab_flagship_knobs), 1 = needed-set over 8-row
-# BLOCKS, 0 = union bounding rectangle (see gather_probes_exact), 3 =
+# Exact-sweep iteration policy: 1 = needed-set min-extraction over 8-row
+# BLOCKS (default: on the articulated flagship's divergent probes each
+# iteration serves 16 image rows, 151.8 vs 170.2 ms for the row sweep;
+# the ROW sweep won on round-2's coherent rigid-circles model 21.67 vs
+# 23.48 — granularity tracks divergence), 2 = needed-set over single
+# PACKED-ROW window starts, 0 = union bounding rectangle
+# (see gather_probes_exact), 3 =
 # ANCHORED-PASS LOOP: a dynamic-trip loop of fast-path re-passes, each
 # anchored at the remaining stragglers' min id per probe (serves one
 # per-node cluster per probe per iteration at fast-path cost), bounded by
 # _ANCHOR_MAX iterations with the row sweep as the residual backstop.
-_SWEEP_MODE = os.environ.get("B3D_EVAL_SWEEP", "2")
+_SWEEP_MODE = os.environ.get("B3D_EVAL_SWEEP", "1")
 _SWEEP_NEEDED = _SWEEP_MODE != "0"
 _SWEEP_ROW = _SWEEP_MODE == "2"
 _SWEEP_ANCHOR = _SWEEP_MODE == "3"
@@ -120,7 +121,7 @@ _PAIR = os.environ.get("B3D_EVAL_PAIR", "0") == "1"
 # [min..max] span.  Wide trained levels (hundreds-thousands of evaluated
 # nodes, 16k+ leaves on the articulated flagship) make a divergent tile's
 # span tens of chunks while it needs only a handful.
-_NEED_SWEEP = os.environ.get("B3D_EVAL_NEED", "0") == "1"
+_NEED_SWEEP = os.environ.get("B3D_EVAL_NEED", "1") == "1"
 
 # With tile_k > 1: 1 = one UNION chunk sweep per tree serving all K tiles
 # (fewer loops, wider ranges when the tiles diverge), 0 = per-tile sweeps
