@@ -31,10 +31,15 @@ def _rot2(a):
     return np.array([[c, -s], [s, c]], np.float32)
 
 
-def hand_cloud(rng, flex_scale=1.0):
+def hand_cloud(rng, flex_scale=1.0, detail=0.0):
     """One articulated RIGHT hand as (P, 3) float32 points in PIXEL
     units (1 unit projects to ~1 pixel at table depth; +y toward the
     fingers, z = height above the palm plane) + (P, 3) uint8 paint colors.
+
+    ``detail`` > 0 adds surface relief (knuckle ridges along finger
+    segments, palm crease furrows) of that amplitude in hand units —
+    the realism knob for training data (clean geometry stays the default
+    so committed goldens remain valid).
 
     Palm: dense disk (upper surface) with a shallow dome + a forearm stub.
     Fingers: 3-segment capsule chains; per-joint flex angles are random up
@@ -56,6 +61,18 @@ def hand_cloud(rng, flex_scale=1.0):
     px = rr * np.cos(th)
     py = rr * np.sin(th) * oval
     pz = 14.0 * scale * np.cos(np.clip(rr / palm_r, 0, 1) * np.pi / 2)
+    if detail > 0:
+        # palm crease furrows: two shallow arcs across the palm.  Phases
+        # come from a fork seeded by this hand's own scale draw, NOT from
+        # ``rng`` — the pose stream stays identical for any ``detail``
+        # setting (same seed -> same hand, with/without relief), keeping
+        # bench scenes and committed datasets reproducible.
+        drng = np.random.default_rng(np.uint64(scale * 1e9))
+        for ph, fr in ((drng.uniform(0, np.pi), 2.2),
+                       (drng.uniform(0, np.pi), 3.1)):
+            pz = pz - detail * scale * np.exp(
+                -((np.sin(fr * th + ph) * rr / palm_r) ** 2) * 18.0
+            )
     pts.append(np.stack([px, py, pz], 1))
     cols.append(np.tile(np.array(PALM_COLOR, np.uint8), (n_p, 1)))
 
@@ -110,6 +127,12 @@ def hand_cloud(rng, flex_scale=1.0):
                 + np.cos(ring)[:, None] * off_axis[None, :] * seg_rad[s]
             )
             zz = p[:, 2] + np.sin(ring) * seg_rad[s] * 0.8 + seg_rad[s] * 0.4
+            if detail > 0:
+                # knuckle ridge at the segment base + fine skin relief
+                zz = zz + detail * scale * (
+                    np.exp(-((t - 0.08) ** 2) * 120.0)
+                    + 0.35 * np.sin(t * seg_len[s] * 0.9 + ring * 2.0)
+                )
             pts.append(
                 np.stack([p[:, 0], p[:, 1], zz], 1).astype(np.float32)
             )
@@ -119,6 +142,47 @@ def hand_cloud(rng, flex_scale=1.0):
             pos = pos + d3 * seg_len[s]
 
     return np.concatenate(pts).astype(np.float32), np.concatenate(cols)
+
+
+def apply_sensor_noise(depth, rng, *, noise_scale=1.0):
+    """D415-style stereo-sensor degradation of a clean uint16 depth frame
+    (0.1 mm units) — the realism axis the reference's data has for free by
+    being captured live (live_data_convert.py) and clean splats lack:
+
+    * depth noise growing ~z^2 (stereo subpixel error: sigma = s * z^2 /
+      (f * B); ~2 units RMS at table depth, scaled by ``noise_scale``),
+    * disparity quantization (depth rounds to z^2-proportional steps),
+    * edge dropout: pixels near strong depth discontinuities go MISSING
+      (stereo matchers fail across occlusion boundaries),
+    * salt speckle: isolated missing pixels.
+
+    Zero pixels stay zero (already missing).  Returns uint16."""
+    h, w = depth.shape
+    d = depth.astype(np.float32)
+    valid = d > 0
+    z2 = (d / 2600.0) ** 2
+
+    # subpixel stereo noise, sigma ~2 units at the 2600-unit table
+    sigma = 2.0 * noise_scale * z2
+    d = d + rng.standard_normal((h, w)).astype(np.float32) * sigma
+
+    # disparity quantization: step ~1.2 units at table depth
+    step = np.maximum(1.2 * noise_scale * z2, 1e-3)
+    d = np.round(d / step) * step
+
+    # edge dropout: strong local depth contrast kills stereo matching
+    pad = np.pad(d, 1, mode="edge")
+    gx = np.abs(pad[1:-1, 2:] - pad[1:-1, :-2])
+    gy = np.abs(pad[2:, 1:-1] - pad[:-2, 1:-1])
+    edge = np.maximum(gx, gy) > 60.0
+    drop_p = np.where(edge, 0.45 * noise_scale, 0.0)
+    # speckle: isolated missing pixels anywhere
+    drop_p = drop_p + 0.004 * noise_scale
+    dropped = rng.uniform(0, 1, (h, w)) < drop_p
+
+    out = np.clip(d, 0, 65535).astype(np.uint16)
+    out[dropped | ~valid] = 0
+    return out
 
 
 def table_depth(intrin, normal=(0.02, -0.04, 1.0), z0=2600.0):
@@ -189,7 +253,8 @@ def compose(table_z, layers):
 
 
 def articulated_scene(intrin, rng, two_hands=False, flex_scale=1.0,
-                      height_range=(260.0, 420.0)):
+                      height_range=(260.0, 420.0), detail=0.0,
+                      noise_scale=0.0):
     """A full-res articulated-hand frame over a tilted table.
 
     One random-pose right hand (``two_hands=False``, the training
@@ -207,7 +272,7 @@ def articulated_scene(intrin, rng, two_hands=False, flex_scale=1.0,
     else:
         placements = [(rng.uniform(0.28, 0.72) * w, False)]
     for cx, mirror in placements:
-        local, cols = hand_cloud(rng, flex_scale=flex_scale)
+        local, cols = hand_cloud(rng, flex_scale=flex_scale, detail=detail)
         cy = rng.uniform(0.38, 0.72) * h
         height = rng.uniform(*height_range)
         rot = rng.uniform(-0.45, 0.45)
@@ -215,4 +280,7 @@ def articulated_scene(intrin, rng, two_hands=False, flex_scale=1.0,
             splat_hand(intrin, tz, local, cols, cx, cy, height, rot,
                        mirror=mirror)
         )
-    return compose(tz, layers)
+    depth, color = compose(tz, layers)
+    if noise_scale > 0:
+        depth = apply_sensor_noise(depth, rng, noise_scale=noise_scale)
+    return depth, color

@@ -8,11 +8,18 @@ rebuilds the traversal around that primitive:
 
 * the depth image lives in VMEM, padded with a 65535 sentinel apron so
   out-of-bounds probes read the correct "missing" value with no branching;
-* label pixels are processed in (8, 128) tiles; each tree level's two probes
-  are served by enumerating candidate (row-start, column-chunk) pairs whose
-  bounds are computed per tile from the actual probe targets (min/max over
-  the tile) — coherent hand pixels need only a handful of passes, while
-  arbitrary inputs remain exact, just slower;
+* label pixels are processed in (8, 128) tiles; each tree level's probes
+  are served by PER-PROBE NEEDED-SET sweeps driven by one batched
+  min-extraction per iteration (default, _SWEEP_MODE 4): every straggling
+  lane names the one (packed-row-start, chunk) cell that serves it, each
+  loop trip serves each probe's next distinct cell with one window load +
+  one lane shuffle, and all probes' next cells come from a single
+  cross-lane reduce + scratch round-trip.  Trip counts track the tile's
+  actual divergence (1-2 cells on coherent scenes, p50 6 / p90 15 on the
+  articulated flagship, scripts/sim_v2_serve.py) — arbitrary inputs remain
+  exact with cost proportional to their own needed set.  The previous
+  anchored-static-window fast path + union block sweep (modes 0-3) is kept
+  for A/B;
 * adjacent image rows are PACKED into one i32 plane (row 2q in the low 16
   bits, row 2q+1 in the high 16), so every window gather serves BOTH rows —
   parity selection is two ~free shifts/selects instead of a second 13 ns
@@ -103,10 +110,26 @@ _FAST_KC2 = int(os.environ.get("B3D_EVAL_KC2", str(_FAST_KC)))
 # anchored at the remaining stragglers' min id per probe (serves one
 # per-node cluster per probe per iteration at fast-path cost), bounded by
 # _ANCHOR_MAX iterations with the row sweep as the residual backstop.
-_SWEEP_MODE = os.environ.get("B3D_EVAL_SWEEP", "1")
+_SWEEP_MODE = os.environ.get("B3D_EVAL_SWEEP", "4")
 _SWEEP_NEEDED = _SWEEP_MODE != "0"
 _SWEEP_ROW = _SWEEP_MODE == "2"
 _SWEEP_ANCHOR = _SWEEP_MODE == "3"
+# 4 = BATCHED PER-PROBE row sweeps, replacing the fast path + anchored
+# passes + union sweep entirely: each probe keeps its own needed-set of
+# (packed-row-start, chunk) cells and every loop iteration serves ONE cell
+# of EVERY probe — all probes' next-cell mins come from a single batched
+# cross-lane reduce + scratch round-trip (see gather_probes_batched).
+# Host-side measurement on the articulated flagship (sim_v2_serve.py):
+# per-probe needed sets are tiny (p50 6 / p90 15 row cells) while the
+# union over 8 probes the block sweep iterates is several times larger and
+# pays 8 shuffles per probe per iteration; mode 4 pays ~1 load + 1 shuffle
+# per probe per iteration and max-per-probe iterations.
+_SWEEP_BATCH = _SWEEP_MODE == "4"
+# (A sublane-band split of the batched sweeps — serve _PSPLIT cells per
+# probe per iteration — was tried and removed: with labels_reduce=2 a
+# node-cluster's window-start row is SUBLANE-INVARIANT, so every band needs
+# nearly every cell and the split only multiplied serve work; measured
+# 94.4 ms vs 77.6 at split 2 on the flagship sweep.)
 _ANCHOR_MAX = int(os.environ.get("B3D_EVAL_ANCHOR_MAX", "6"))
 
 # 1 = ONE window base per (u, v) probe PAIR of the same walk: the pair's
@@ -135,7 +158,7 @@ _UNION_COMPS = os.environ.get("B3D_EVAL_UNION", "1") == "1"
 # disables (always dynamic).  Default 16 (<= 2048-node levels static):
 # 16 -> 23.3 ms vs 8 -> 23.5 / 4 -> 24.9+ / 32 -> 23.6 on the flagship
 # sweep (scripts/ab_flagship_knobs.py).
-_STATIC_CHUNKS = int(os.environ.get("B3D_EVAL_STATCHUNKS", "16"))
+_STATIC_CHUNKS = int(os.environ.get("B3D_EVAL_STATCHUNKS", "8"))
 
 # Total anchored static-window passes: passes 2..N re-anchor on the previous
 # pass's straggler lanes INSIDE the exact-cleanup gate, before the needed-set
@@ -161,6 +184,14 @@ _FAST_PASSES_DEEP = int(
 # Pass-1 window geometry at deep levels (straggler clusters spread further).
 _FAST_ROWS_DEEP = int(os.environ.get("B3D_EVAL_ROWS_DEEP", str(_FAST_ROWS)))
 _FAST_KC_DEEP = int(os.environ.get("B3D_EVAL_KC_DEEP", str(_FAST_KC)))
+
+# 1 = BATCHED cross-tree table sweeps: the per-level node-component sweeps
+# and the deferred leaf-pdf sweeps run as ONE dynamic-trip loop over ALL
+# trees — per iteration each tree extracts its own next needed chunk (one
+# batched reduce + scratch round-trip for all trees, the _SWEEP_MODE 4
+# pattern) and serves it.  Trip count = max-per-tree needed chunks instead
+# of the per-tree loops' sum, and T-1 while-loop serial chains disappear.
+_CBATCH = os.environ.get("B3D_EVAL_CBATCH", "1") == "1"
 
 # 1 = ONE cross-lane reduce per probe in the fast path (min over the
 # combined srow * NC + chunk id; the window anchors at the minimum-id lane's
@@ -515,11 +546,16 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
             accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
             over = jnp.zeros((SUB, LANE), jnp.bool_)
             overs = []
-            win_cache = {}  # (inst, id(sb), id(cb)) -> (wins, hb, cb)
+            # Window cache keyed on the STRUCTURAL pair index: under _PAIR
+            # probes 2q/2q+1 share one base (the same scalars are placed at
+            # both slots above), so they must share one window set.  An
+            # id()-based key would also work today but only because the
+            # bases list pins every scalar for the loop's duration.
+            win_cache = {}  # (inst, pair index) -> (wins, hb, cb)
             for p, (srow, chunk, lane_idx, oob, active, inst) in enumerate(
                     preps):
                 plane_ref = planes[inst]
-                ck = (inst, id(bases[2 * p]), id(bases[2 * p + 1]))
+                ck = (inst, p // 2 if _PAIR else p)
                 if ck in win_cache:
                     wins, hb, cb = win_cache[ck]
                 else:
@@ -566,6 +602,101 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                     for v, p in zip(accs, preps)
                 )
             return vals, over, overs
+
+        def batched_scalar_mins(rows_lists):
+            """One scratch round-trip turning N (8, 128) i32 arrays into N
+            scalar minima (plus their combined min): per array an axis-0
+            min (cheap vector op), stacked 8 at a time, reduced across
+            lanes ONCE per stack.  The per-iteration serial chain of a
+            needed-set sweep is one reduce + one scalar read-back for ALL
+            probes/trees instead of one per each."""
+            scal = []
+            col = 0
+            for i in range(0, len(rows_lists), SUB):
+                grp = rows_lists[i : i + SUB]
+                k = len(grp)
+                rows = [jnp.min(r, axis=0, keepdims=True) for r in grp]
+                while len(rows) < SUB:
+                    rows.append(rows[0])
+                m8 = jnp.concatenate(rows, axis=0)  # (SUB, LANE)
+                scratch_ref[0:SUB, col : col + 1] = jnp.min(
+                    m8, axis=1, keepdims=True
+                )
+                for j in range(k):
+                    scal.append(scratch_ref[j, col])
+                col += 1
+            g = scal[0]
+            for s in scal[1:]:
+                g = jnp.minimum(g, s)
+            return scal, g
+
+        def gather_probes_batched(probes):
+            """Serve ALL probes by per-probe needed-set row sweeps in ONE
+            dynamic-trip loop (_SWEEP_MODE 4).  Each probe's lanes name the
+            (packed-row-start, chunk) cell that serves them; per iteration
+            every probe extracts ITS OWN next distinct cell (one batched
+            reduce for all probes, see batched_scalar_mins) and serves it
+            with one window load + one lane shuffle (both parities via the
+            packed plane).  Trip count is the MAX per-probe cell count —
+            measured p50 6 / p90 15 on the articulated flagship — instead
+            of the union over probes the block sweep pays, and per-trip
+            vector work is ~8x lighter than the 8-roll block serve.
+            Replaces the anchored fast path entirely (its per-probe base
+            reduces cost as much as a handful of sweep trips)."""
+            preps = [prep(yy, xx, act, inst, False)
+                     for (yy, xx, act, inst) in probes]
+            nP = len(preps)
+            rems = [
+                jnp.where(serve, (srow // 2) * n_chunks_img + chunk, big)
+                for (srow, chunk, lane_idx, oob, serve, inst) in preps
+            ]
+            accs = [jnp.zeros((SUB, LANE), jnp.int32) for _ in preps]
+            # per-lane parity shift (srow odd -> high half of the packed
+            # word), hoisted out of the loop: one variable-shift + mask
+            # replaces unpack + two selects per serve (78.5 vs 81.5 ms on
+            # the flagship sweep)
+            shifts = [(p[0] & 1) << 4 for p in preps]
+            ms0, g0 = batched_scalar_mins(rems)
+
+            def cond(c):
+                return c[0] < big
+
+            def body(c):
+                ms = list(c[1 : 1 + nP])
+                rems_l = list(c[1 + nP : 1 + 2 * nP])
+                accs_l = list(c[1 + 2 * nP :])
+                new_rems = []
+                for p, (srow, chunk, lane_idx, oob, serve, inst) in (
+                        enumerate(preps)):
+                    m = ms[p]
+                    # valid cells have q in [0, max_half] (the plane is
+                    # padded so an aligned 16-row load at max_half fits);
+                    # only the m == big sentinel needs clamping.
+                    q = m // n_chunks_img
+                    cix = jnp.clip(
+                        m - q * n_chunks_img, 0, n_chunks_img - 1
+                    )
+                    q = jnp.minimum(q, max_half)
+                    win = window(planes[inst], q, cix)
+                    v = jnp.take_along_axis(win, lane_idx, axis=1)
+                    val = jax.lax.shift_right_logical(
+                        v, shifts[p]
+                    ) & 0xFFFF
+                    hit = (rems_l[p] == m) & (m < big)
+                    accs_l[p] = jnp.where(hit, val, accs_l[p])
+                    new_rems.append(jnp.where(hit, big, rems_l[p]))
+                ms_n, g_n = batched_scalar_mins(new_rems)
+                return (g_n,) + tuple(ms_n) + tuple(new_rems) + tuple(
+                    accs_l)
+
+            out = jax.lax.while_loop(
+                cond, body, (g0,) + tuple(ms0) + tuple(rems) + tuple(accs)
+            )
+            accs = out[1 + 2 * nP :]
+            return tuple(
+                jnp.where(p[3], MAX_UINT16, a)
+                for a, p in zip(accs, preps)
+            )
 
         def gather_probes_exact(probes, init_vals=None):
             """Exact (unconditionally dynamic) gather: ONE (row, chunk)
@@ -732,6 +863,8 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
             _FAST_PASSES_DEEP); ``rows``/``kc`` override the pass-1 window
             geometry."""
             n_passes = _FAST_PASSES if passes is None else passes
+            if _SWEEP_BATCH:
+                return gather_probes_batched(probes)
             if "nofast" in _NEUTER:
                 # exact-only mode (correct): skips the fast path's 2 serial
                 # cross-lane reduces per probe, betting on the blocked
@@ -876,7 +1009,7 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
 
     return y_pxs, x_pxs, gather_image_multi, chunked_lookup, (
         gather_probes_fast, gather_probes_exact,
-        scalar_mins, chunk_bound_rows, chunk_bounds)
+        scalar_mins, chunk_bound_rows, chunk_bounds, batched_scalar_mins)
 
 
 def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
@@ -892,8 +1025,9 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
     any()-gates — is paid ONCE for K*T (tile, tree) walks instead of K*T
     times, and each per-tree table sweep serves every tile's lanes from one
     block load (adjacent compacted tiles visit near-identical node ranges)."""
-    scalar_mins, chunk_bound_rows, chunk_bounds = (
-        bound_helpers if bound_helpers is not None else (None, None, None)
+    scalar_mins, chunk_bound_rows, chunk_bounds, batched_mins = (
+        bound_helpers if bound_helpers is not None
+        else (None, None, None, None)
     )
     T = num_trees
     K = len(insts)
@@ -925,7 +1059,98 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
             tree_bounds = [None] * T
             walk_bounds = [None] * NI
             n_chunks_lvl = (n_nodes + LANE - 1) // LANE
-            if n_nodes > LANE and n_chunks_lvl <= _STATIC_CHUNKS:
+            use_cbatch = (
+                _CBATCH and n_nodes > LANE
+                and n_chunks_lvl > _STATIC_CHUNKS
+                and batched_mins is not None
+            )
+            comps_all = None
+            if use_cbatch:
+                # One cross-tree needed-set loop serving every tree's 7
+                # components for all K tiles (see _CBATCH).
+                chunks_ts, lanes_ts, rems0 = [], [], []
+                for t in range(T):
+                    chs, lns, rem_rows = [], [], []
+                    for s in range(K):
+                        i = s * T + t
+                        a = dones[i] == 0
+                        gc = jnp.where(a, gs[i], 0)
+                        ch = gc // LANE
+                        chs.append(ch)
+                        lns.append(gc - ch * LANE)
+                        rem_rows.append(
+                            jnp.where(a, ch, jnp.int32(1 << 29))
+                        )
+                    chunks_ts.append(chs)
+                    lanes_ts.append(lns)
+                    rems0.append(
+                        jnp.concatenate(rem_rows, axis=0)
+                        if K > 1 else rem_rows[0]
+                    )
+                bigc = jnp.int32(1 << 29)
+                accs0 = tuple(
+                    jnp.zeros((SUB, LANE), ref.dtype)
+                    for t in range(T)
+                    for ref in (ux_r, uy_r, vx_r, vy_r, th_r, ch_r, lf_r)
+                    for _ in range(K)
+                )
+                cms0, cg0 = batched_mins(rems0)
+
+                def c_cond(c):
+                    return c[0] < bigc
+
+                def c_body(c):
+                    ms = list(c[1 : 1 + T])
+                    rems_l = list(c[1 + T : 1 + 2 * T])
+                    accs_l = list(c[1 + 2 * T :])
+                    new_rems = []
+                    refs = (ux_r, uy_r, vx_r, vy_r, th_r, ch_r, lf_r)
+                    for t in range(T):
+                        m = ms[t]
+                        cix = jnp.clip(m, 0, n_chunks_lvl - 1)
+                        for ci, ref in enumerate(refs):
+                            blk = ref[t, cix // SUB]
+                            row = pltpu.roll(
+                                blk, (SUB - cix % SUB) % SUB, 0
+                            )[0:1]
+                            op = jnp.broadcast_to(row, (SUB, LANE))
+                            for s in range(K):
+                                val = jnp.take_along_axis(
+                                    op, lanes_ts[t][s], axis=1
+                                )
+                                pos = (t * NCOMP + ci) * K + s
+                                accs_l[pos] = jnp.where(
+                                    chunks_ts[t][s] == m, val,
+                                    accs_l[pos],
+                                )
+                        new_rems.append(
+                            jnp.where(rems_l[t] == m, bigc, rems_l[t])
+                        )
+                    cms_n, cg_n = batched_mins(new_rems)
+                    return (
+                        (cg_n,) + tuple(cms_n) + tuple(new_rems)
+                        + tuple(accs_l)
+                    )
+
+                c_out = jax.lax.while_loop(
+                    c_cond, c_body,
+                    (cg0,) + tuple(cms0) + tuple(rems0) + accs0,
+                )
+                flat_accs = c_out[1 + 2 * T :]
+                # comps_all[t][comp][tile]
+                comps_all = [
+                    [
+                        [
+                            flat_accs[(t * NCOMP + ci) * K + s]
+                            for s in range(K)
+                        ]
+                        for ci in range(NCOMP)
+                    ]
+                    for t in range(T)
+                ]
+            if use_cbatch:
+                pass
+            elif n_nodes > LANE and n_chunks_lvl <= _STATIC_CHUNKS:
                 # Static full sweep: no bound reduces at all (see
                 # _STATIC_CHUNKS); comps_merged unrolls int bounds.
                 tree_bounds = [(0, n_chunks_lvl - 1)] * T
@@ -1054,7 +1279,17 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
                         else jnp.zeros((SUB, LANE), jnp.int32)
                     )
 
-                if n_nodes > LANE and (
+                if comps_all is not None:
+                    comps = comps_all[t]
+                    uxs, uys, vxs, vys = (
+                        comps[0], comps[1], comps[2], comps[3]
+                    )
+                    for s in range(K):
+                        i = s * T + t
+                        ths[i] = comps[4][s]
+                        chs[i] = comps[5][s]
+                        lfs[i] = comps[6][s]
+                elif n_nodes > LANE and (
                     tree_bounds[t] is not None or walk_bounds[t] is not None
                 ):
                     if union:
@@ -1197,7 +1432,86 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
         union = _UNION_COMPS or K == 1
         leaf_bounds = [None] * T  # union over tiles, per tree
         leaf_walk_bounds = [None] * NI
-        if "pdfstatic" in _NEUTER:
+        use_pbatch = (
+            _CBATCH and num_leaves > LANE and batched_mins is not None
+            and "pdfstatic" not in _NEUTER
+        )
+        if use_pbatch:
+            # One cross-tree needed-set loop over leaf-pdf chunks: per
+            # iteration each tree serves its own next chunk for all K
+            # tiles x C classes (see _CBATCH).
+            n_chunks_lf = (num_leaves + LANE - 1) // LANE
+            bigp = jnp.int32(1 << 29)
+            chunks_ts, lanes_ts, rems0 = [], [], []
+            for t in range(T):
+                chs, lns, rem_rows = [], [], []
+                for s in range(K):
+                    i = s * T + t
+                    gc = jnp.where(acts[i], leafs[i], 0)
+                    ch = gc // LANE
+                    chs.append(ch)
+                    lns.append(gc - ch * LANE)
+                    rem_rows.append(jnp.where(acts[i], ch, bigp))
+                chunks_ts.append(chs)
+                lanes_ts.append(lns)
+                rems0.append(
+                    jnp.concatenate(rem_rows, axis=0)
+                    if K > 1 else rem_rows[0]
+                )
+            accs0 = tuple(
+                jnp.zeros((SUB, LANE), jnp.float32)
+                for _ in range(T * num_classes * K)
+            )
+            pms0, pg0 = batched_mins(rems0)
+
+            def p_cond(c):
+                return c[0] < bigp
+
+            def p_body(c):
+                ms = list(c[1 : 1 + T])
+                rems_l = list(c[1 + T : 1 + 2 * T])
+                accs_l = list(c[1 + 2 * T :])
+                new_rems = []
+                for t in range(T):
+                    m = ms[t]
+                    cix = jnp.clip(m, 0, n_chunks_lf - 1)
+                    for k in range(num_classes):
+                        blk = leaf_pdf_r[t, k, cix // SUB]
+                        row = pltpu.roll(
+                            blk, (SUB - cix % SUB) % SUB, 0
+                        )[0:1]
+                        op = jnp.broadcast_to(row, (SUB, LANE))
+                        for s in range(K):
+                            val = jnp.take_along_axis(
+                                op, lanes_ts[t][s], axis=1
+                            )
+                            pos = (t * num_classes + k) * K + s
+                            accs_l[pos] = jnp.where(
+                                chunks_ts[t][s] == m, val, accs_l[pos]
+                            )
+                    new_rems.append(
+                        jnp.where(rems_l[t] == m, bigp, rems_l[t])
+                    )
+                pms_n, pg_n = batched_mins(new_rems)
+                return (
+                    (pg_n,) + tuple(pms_n) + tuple(new_rems)
+                    + tuple(accs_l)
+                )
+
+            p_out = jax.lax.while_loop(
+                p_cond, p_body, (pg0,) + tuple(pms0) + tuple(rems0) + accs0
+            )
+            flat_pdf = p_out[1 + 2 * T :]
+            for s in range(K):
+                for k in range(num_classes):
+                    for t in range(T):
+                        i = s * T + t
+                        pdf_sums[s][k] = pdf_sums[s][k] + jnp.where(
+                            acts[i],
+                            flat_pdf[(t * num_classes + k) * K + s],
+                            0.0,
+                        )
+        elif "pdfstatic" in _NEUTER:
             leaf_bounds = [
                 (0, (num_leaves + LANE - 1) // LANE - 1)
             ] * T
@@ -1227,7 +1541,7 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
                 leaf_walk_bounds = [
                     chunk_bounds(flat[2 * i : 2 * i + 2]) for i in range(NI)
                 ]
-        for t in range(T):
+        for t in (range(T) if not use_pbatch else ()):
             if num_leaves <= LANE:
                 # pre-broadcast table: one direct load + shuffle per class
                 for s in range(K):
@@ -1411,7 +1725,7 @@ def _make_kernel(num_trees, depth_levels, num_classes, counts, num_leaves,
             tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
             num_classes, counts, [(eligible, safe_df, zero_center)], scale,
             y_pxs, x_pxs, gather_image_multi, chunked_lookup,
-            bound_helpers=prims[2:5],
+            bound_helpers=prims[2:6],
         )
         write = (
             eligible if write_all_eligible else (eligible & all_dones[0])
@@ -1618,7 +1932,7 @@ def _make_layered_kernel(metas, filter_specs, r, h, w, num_cond, nty, ntx,
             best_cs, _ = _traverse_tiles(
                 layer_tables[i], layer_leaf_pdfs[i], nl, t, d, c, counts,
                 insts, scale, y_pxs, x_pxs,
-                gather_image_multi, chunked_lookup, bound_helpers=prims[2:5],
+                gather_image_multi, chunked_lookup, bound_helpers=prims[2:6],
             )
             labels.append([
                 jnp.where(insts[s][0], best_cs[s], MAX_UINT16)

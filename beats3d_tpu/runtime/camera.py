@@ -54,9 +54,17 @@ def open_source(args):
     if getattr(args, "synthetic", False):
         w, h = (424, 240) if args.rs_half_resolution else (848, 480)
         return SyntheticSource(CameraIntrinsics.d415(w, h))
-    return RealSenseSource(
-        bag=args.rs_bag, half_resolution=args.rs_half_resolution
-    )
+    if args.rs_bag:
+        try:
+            return RealSenseSource(
+                bag=args.rs_bag, half_resolution=args.rs_half_resolution
+            )
+        except RuntimeError:
+            # no pyrealsense2 on this host: demux the bag container
+            # directly (pure python, uncompressed chunks)
+            from .bagfile import BagSource
+            return BagSource(args.rs_bag)
+    return RealSenseSource(half_resolution=args.rs_half_resolution)
 
 
 class RecordedSource:

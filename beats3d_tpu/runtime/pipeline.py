@@ -362,16 +362,20 @@ def frame_step(
         # Worst-case guard (PipelineConfig.guard_spread/guard_mode):
         # incoherent images either get zeroed out per image ("skip") or the
         # whole stack falls back to the spread-insensitive XLA path ("xla").
+        # Returns (labels, guard_flags): flags mark images the "skip" guard
+        # MUTED (labels 65535/means NaN by zeroing) so callers can tell a
+        # muted frame from one with no hand.
+        noflags = jnp.zeros((depth_imgs.shape[0],), jnp.bool_)
         if backend != "pallas" or cfg.guard_spread <= 0:
-            return eval_layers_fast(depth_imgs)
+            return eval_layers_fast(depth_imgs), noflags
         if cfgv.guard_mode == "skip":
             flags = _incoherent_images(depth_imgs, r, cfgv)
             safe = jnp.where(
                 flags[:, None, None], jnp.zeros_like(depth_imgs), depth_imgs
             )
-            return eval_layers_fast(safe)
+            return eval_layers_fast(safe), flags
         if layer_tables_xla is None:
-            return eval_layers_fast(depth_imgs)
+            return eval_layers_fast(depth_imgs), noflags
 
         def eval_layers_xla(d):
             return run_layered(
@@ -383,7 +387,7 @@ def frame_step(
         return jax.lax.cond(
             _incoherent(depth_imgs, r, cfgv),
             eval_layers_xla, eval_layers_fast, depth_imgs,
-        )
+        ), noflags
 
     def run_ms(li):
         return meanshift.mean_shift(
@@ -399,14 +403,14 @@ def frame_step(
         oys, oxs, too_big = _crop_origins(grown, cfgv, h, w)
 
         def eval_full(_):
-            lab = eval_layers(_full_stencils(depth1, grown, cfgv))
+            lab, gf = eval_layers(_full_stencils(depth1, grown, cfgv))
             # Un-mirror the left hand's labels (3d_bz.py:439-446).
             labels_screen = jnp.stack([lab[0], points.flip_x(lab[1])])
-            return labels_screen, jax.vmap(run_ms)(labels_screen)
+            return labels_screen, jax.vmap(run_ms)(labels_screen), gf
 
         def eval_cropped(_):
             crops = _stencil_crops(depth1, grown, oys, oxs, cfgv, h, w)
-            lc = eval_layers(crops)  # (2, ch//r, cw//r)
+            lc, gf = eval_layers(crops)  # (2, ch//r, cw//r)
             canvas = jnp.full((hl, wl), 65535, lc.dtype)
             scat = [
                 jax.lax.dynamic_update_slice(
@@ -424,11 +428,13 @@ def frame_step(
             sx = ox_l + m[..., 0]
             sy = oy_l + m[..., 1]
             sx = sx.at[1].set((wl - 1) - sx[1])
-            return labels_screen, jnp.stack([sx, sy], axis=-1)
+            return labels_screen, jnp.stack([sx, sy], axis=-1), gf
 
-        labels, ms = jax.lax.cond(too_big, eval_full, eval_cropped, None)
+        labels, ms, gmut = jax.lax.cond(
+            too_big, eval_full, eval_cropped, None
+        )
     else:
-        lab = eval_layers(_full_stencils(depth1, grown, cfgv))
+        lab, gmut = eval_layers(_full_stencils(depth1, grown, cfgv))
         labels = jnp.stack([lab[0], points.flip_x(lab[1])])
         ms = jax.vmap(run_ms)(labels)
 
@@ -451,6 +457,10 @@ def frame_step(
         "tip_px": tip_px,
         "g_info": g_info,
         "groups_small": groups_small,
+        # per-hand guard verdicts: True = the incoherence guard muted this
+        # hand image (labels 65535 / means NaN by construction), letting
+        # consumers tell a guard-muted frame from one with no hand
+        "guard_muted": gmut,
     }
 
 
@@ -550,16 +560,18 @@ def frame_step_batched(
         # zeroed (the compacted tile grid then skips them at ~0 cost, labels
         # come back 65535/tips invalid) while coherent batchmates keep full
         # speed — one adversarial frame no longer de-optimizes the batch.
+        # Returns (labels, guard_flags); see the single-frame eval_layers.
+        noflags = jnp.zeros((depth_imgs.shape[0],), jnp.bool_)
         if backend != "pallas" or cfgv.guard_spread <= 0:
-            return eval_layers_fast(depth_imgs)
+            return eval_layers_fast(depth_imgs), noflags
         if cfgv.guard_mode == "skip":
             flags = _incoherent_images(depth_imgs, r, cfgv)
             safe = jnp.where(
                 flags[:, None, None], jnp.zeros_like(depth_imgs), depth_imgs
             )
-            return eval_layers_fast(safe)
+            return eval_layers_fast(safe), flags
         if layer_tables_xla is None:
-            return eval_layers_fast(depth_imgs)
+            return eval_layers_fast(depth_imgs), noflags
 
         def eval_layers_xla(d):
             # lax.map in sub-batches: the XLA path's per-level gathers are
@@ -583,7 +595,7 @@ def frame_step_batched(
         return jax.lax.cond(
             _incoherent(depth_imgs, r, cfgv),
             eval_layers_xla, eval_layers_fast, depth_imgs,
-        )
+        ), noflags
 
     def run_ms(labels_2d):
         return meanshift.mean_shift(
@@ -595,14 +607,13 @@ def frame_step_batched(
         hand_depth = jax.vmap(
             lambda d1, gr: _full_stencils(d1, gr, cfgv)
         )(depth1, grown)
-        lab = eval_layers(hand_depth.reshape(2 * b, h, w)).reshape(
-            b, 2, hl, wl
-        )
+        lab, gf = eval_layers(hand_depth.reshape(2 * b, h, w))
+        lab = lab.reshape(b, 2, hl, wl)
         labels_screen = jnp.stack(
             [lab[:, 0], points.flip_x(lab[:, 1])], axis=1
         )
         means = jax.vmap(jax.vmap(run_ms))(labels_screen)
-        return labels_screen, means
+        return labels_screen, means, gf.reshape(b, 2)
 
     def crop_path(_):
         # Oversized-hand frames (rescued in a second dispatch below) get
@@ -611,9 +622,8 @@ def frame_step_batched(
         crops_eff = jnp.where(
             too_big[:, None, None, None], jnp.zeros_like(crops), crops
         )
-        lc = eval_layers(crops_eff.reshape(2 * b, ch, cw)).reshape(
-            b, 2, ch // r, cw // r
-        )
+        lc, gf = eval_layers(crops_eff.reshape(2 * b, ch, cw))
+        lc = lc.reshape(b, 2, ch // r, cw // r)
 
         def scatter(lci, oy, ox, mirrored):
             out = points.scatter_mm(
@@ -641,7 +651,7 @@ def frame_step_batched(
         sy = oy_l + my
         sx = sx.at[:, 1].set((wl - 1) - sx[:, 1])
         means = jnp.stack([sx, sy], axis=-1)
-        return labels_screen, means
+        return labels_screen, means, gf.reshape(b, 2)
 
     if use_crop:
         fb = min(cfgv.fallback_budget, b)
@@ -656,16 +666,15 @@ def frame_step_batched(
             ops = crop_path(None)
 
             def rescue(ops):
-                labels_c, ms_c = ops
+                labels_c, ms_c, gf_c = ops
                 ar = jnp.arange(b, dtype=jnp.int32)
                 idx = jnp.argsort(jnp.where(too_big, ar, b + ar))[:fb]
                 upd = too_big[idx]  # padding rows (clean frames) are no-ops
                 hand_depth = jax.vmap(
                     lambda d1, gr: _full_stencils(d1, gr, cfgv)
                 )(depth1[idx], grown[idx])
-                lab = eval_layers(
-                    hand_depth.reshape(2 * fb, h, w)
-                ).reshape(fb, 2, hl, wl)
+                lab, gf_r = eval_layers(hand_depth.reshape(2 * fb, h, w))
+                lab = lab.reshape(fb, 2, hl, wl)
                 labs = jnp.stack(
                     [lab[:, 0], points.flip_x(lab[:, 1])], axis=1
                 )
@@ -676,20 +685,23 @@ def frame_step_batched(
                 ms_out = ms_c.at[idx].set(
                     jnp.where(upd[:, None, None, None], means_s, ms_c[idx])
                 )
-                return labels_out, ms_out
+                gf_out = gf_c.at[idx].set(
+                    jnp.where(upd[:, None], gf_r.reshape(fb, 2), gf_c[idx])
+                )
+                return labels_out, ms_out, gf_out
 
             return jax.lax.cond(nbad == 0, lambda o: o, rescue, ops)
 
         if fb > 0:
-            labels, ms = jax.lax.cond(
+            labels, ms, gmut = jax.lax.cond(
                 nbad <= fb, crop_then_rescue, full_path, None
             )
         else:
-            labels, ms = jax.lax.cond(
+            labels, ms, gmut = jax.lax.cond(
                 jnp.any(too_big), full_path, crop_path, None
             )
     else:
-        labels, ms = full_path(None)
+        labels, ms, gmut = full_path(None)
 
     def tips_one(raw, means_hand):
         return _fingertip_heights(
@@ -710,6 +722,8 @@ def frame_step_batched(
         "tip_valid": tips[1],
         "tip_px": tips[2],
         "g_info": g_info,
+        # (B, 2) per-hand guard verdicts (see frame_step's guard_muted)
+        "guard_muted": gmut,
     }
 
 

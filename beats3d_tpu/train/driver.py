@@ -50,6 +50,8 @@ def evaluate_tree_accuracy(tree_or_forest_flat: np.ndarray, test_depth,
         truth = test_labels[lo : lo + chunk]
         match += int(np.sum(pred == truth))
         labeled += int(np.sum(truth > 0))
+    if labeled == 0:
+        return float("nan")  # no labeled pixels in the test set
     return match / labeled
 
 

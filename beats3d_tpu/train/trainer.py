@@ -71,6 +71,11 @@ def _chunk_features(depth_flat, b, y, x, d_center, props, h, w):
             + jnp.clip(ty, 0, h - 1) * w
             + jnp.clip(tx, 0, w - 1)
         )
+        # chunk-padding pixels carry b == num_images, putting lin past the
+        # flat array; their features are don't-care (nodes == -1 masks them
+        # out of every histogram) but the clamp must be EXPLICIT so the
+        # checkify sanitizer lane stays meaningful (tests/test_checkify.py)
+        lin = jnp.clip(lin, 0, depth_flat.shape[0] - 1)
         vals = jnp.take(depth_flat, lin.reshape(-1)).reshape(lin.shape)
         return jnp.where(inb, vals, jnp.uint16(MAX_UINT16)).astype(jnp.float32)
 
@@ -251,9 +256,14 @@ def _histogram_step_from_bits(
 
 
 def _gini_impurity(counts):
-    """counts (..., C) float32 -> impurity, float math as tree_train.cu:72-80."""
+    """counts (..., C) float32 -> impurity, float math as tree_train.cu:72-80.
+
+    Empty histograms (a proposal sending zero pixels one way) use a safe
+    denominator: their impurity is masked out by the lsum/rsum == 0 gate in
+    _pick_best_step either way (tree_train.cu:158-160), and the explicit
+    guard keeps the checkify sanitizer lane meaningful."""
     s = jnp.sum(counts, axis=-1, keepdims=True)
-    pr = counts / s
+    pr = counts / jnp.where(s == 0.0, 1.0, s)
     return 1.0 - jnp.sum(pr * pr, axis=-1)
 
 
@@ -367,6 +377,7 @@ class DecisionTreeTrainer:
         streaming: bool = False,
         mesh=None,
         feature_backend: str = "auto",
+        stream_codec: bool = True,
     ):
         """``streaming=True`` bounds device memory: image/label/node blocks
         live on the HOST (optionally zlib-compressed via
@@ -383,6 +394,12 @@ class DecisionTreeTrainer:
         self.matmul_bins_limit = matmul_bins_limit
         self.pixel_chunk = pixel_chunk
         self.streaming = streaming
+        # streaming blocks ship RLE-compressed and decode ON DEVICE
+        # (data.device_codec, the reference's nvcomp-per-use economy,
+        # compressed_blocks.py:106,158): h2d bytes — and the axon client's
+        # staging retention, the round-3 streaming blocker — shrink by the
+        # block compression ratio.
+        self.stream_codec = stream_codec
         self.mesh = mesh
         if feature_backend == "auto":
             import jax as _jax
@@ -432,7 +449,13 @@ class DecisionTreeTrainer:
         labels_blocks = []
         nodes_blocks = []
         nodes_store = None
-        if not resident:
+        # [depth, labels, nodes] DeviceCodecDynamic stores (built lazily
+        # at the first block once shapes are known) when stream_codec is on
+        codec_stores = (
+            [None, None, None]
+            if (not resident and self.stream_codec) else None
+        )
+        if not resident and codec_stores is None:
             # Streaming mode keeps the mutable per-pixel node state
             # zlib-compressed on the host, re-compressed after every level's
             # advance — the reference's CompressedBlocksDynamic economy
@@ -459,6 +482,23 @@ class DecisionTreeTrainer:
                 depth_blocks.append(jnp.asarray(dataset.get_depth_block(i)))
                 labels_blocks.append(jnp.asarray(lab))
                 nodes_blocks.append(jnp.asarray(nodes))
+            elif codec_stores is not None:
+                db = np.asarray(dataset.get_depth_block(i))
+                if codec_stores[0] is None:
+                    from ..data.device_codec import DeviceCodecDynamic
+
+                    codec_stores[0] = DeviceCodecDynamic(
+                        self.num_image_blocks, db.shape, db.dtype
+                    )
+                    codec_stores[1] = DeviceCodecDynamic(
+                        self.num_image_blocks, lab.shape, lab.dtype
+                    )
+                    codec_stores[2] = DeviceCodecDynamic(
+                        self.num_image_blocks, nodes.shape, nodes.dtype
+                    )
+                codec_stores[0].write_block(i, db)
+                codec_stores[1].write_block(i, np.asarray(lab))
+                codec_stores[2].write_block(i, nodes)
             else:
                 nodes_store.write_block(i, nodes)
 
@@ -466,6 +506,13 @@ class DecisionTreeTrainer:
             """(depth, labels, nodes) device arrays for one image block."""
             if resident:
                 return depth_blocks[ib], labels_blocks[ib], nodes_blocks[ib]
+            if codec_stores is not None:
+                # device-side decode: only RLE buffers cross h2d
+                return (
+                    codec_stores[0].get_block(ib),
+                    codec_stores[1].get_block(ib),
+                    codec_stores[2].get_block(ib),
+                )
             return (
                 jnp.asarray(dataset.get_depth_block(ib)),
                 jnp.asarray(dataset.get_labels_block(ib)),
@@ -564,7 +611,11 @@ class DecisionTreeTrainer:
                             # staging is only released when the device
                             # buffer dies, not at the sync.
                             in_flight.append((d_b, l_b, n_b))
-                            if ib % 4 == 3:
+                            if (ib % 4 == 3
+                                    or ib == self.num_image_blocks - 1):
+                                # the tail blocks of a non-multiple-of-4
+                                # level must drain too, or their staging
+                                # survives level finalize + advance
                                 jax.device_get(total[0, 0])
                                 for arrs in in_flight:
                                     for a in arrs:
@@ -633,7 +684,12 @@ class DecisionTreeTrainer:
                 if resident:
                     nodes_blocks[ib] = advanced
                 else:
-                    nodes_store.write_block(ib, np.asarray(advanced))
+                    if codec_stores is not None:
+                        codec_stores[2].write_block(
+                            ib, np.asarray(advanced)
+                        )
+                    else:
+                        nodes_store.write_block(ib, np.asarray(advanced))
                     for a in (d_b, l_b, n_b, advanced):
                         a.delete()
             if not resident:

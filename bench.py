@@ -207,6 +207,19 @@ def main():
     np.asarray(ob["heights"])
     fps_batched = B * bi / (time.perf_counter() - t0)
 
+    # --- device-time metrics (VERDICT r3 #4): xplane-measured device ms,
+    # free of the axon tunnel RTT that dominates host-side latency here ---
+    from beats3d_tpu.utils.devtime import measure_device_ms
+
+    dev_b = measure_device_ms(
+        lambda: pipe.batch(frames, plane_mat), 6,
+        sync=lambda o: np.asarray(o["heights"]),
+    )
+    dev_1 = measure_device_ms(
+        lambda: fn(depth, plane_mat), 10,
+        sync=lambda o: np.asarray(o["heights"]),
+    )
+
     # --- per-frame fallback granularity extras (VERDICT r2 #6) ---------
     # One adversarial frame in the batch must NOT de-optimize its
     # batchmates: frame 0 is replaced by (a) a hand too big for the crop
@@ -267,6 +280,32 @@ def main():
     np.asarray(os_["heights"])
     fps_syn = B * bi / (time.perf_counter() - t0)
 
+    # --- training throughput (VERDICT r3 #7): fixed tiny config, tracked
+    # round-over-round as (images x proposals x levels) / s ---------------
+    import tests.fixtures as fixtures
+    from beats3d_tpu.data.dataset import ArrayDataset
+    from beats3d_tpu.train import train_forest
+
+    tr_rng = np.random.default_rng(7)
+    td, tl = fixtures.synthetic_hand_dataset(tr_rng, n=18, h=96, w=128)
+    tr_train = ArrayDataset(td[:16], tl[:16], 4)
+    tr_test = ArrayDataset(td[16:], tl[16:], 4)
+    tr_cfg = dict(
+        num_random_features=32, proposals_per_block=32, max_tree_depth=6,
+        trees_in_forest=1, trees_to_try=1,
+    )
+    train_forest(  # compile warm-up (same shapes)
+        tr_train, tr_test, rng=np.random.default_rng(5),
+        log=lambda *a: None, **tr_cfg,
+    )
+    t0 = time.perf_counter()
+    train_forest(
+        tr_train, tr_test, rng=np.random.default_rng(6),
+        log=lambda *a: None, **tr_cfg,
+    )
+    tr_dt = time.perf_counter() - t0
+    train_rate = 16 * 32 * 6 / tr_dt
+
     result = {
         "metric": "frames_per_second",
         "value": round(fps_batched, 2),
@@ -283,7 +322,28 @@ def main():
         "p50_sync_ms": round(p50_sync, 2),
         "batch": B,
         "platform": jax.devices()[0].platform,
+        "train_rate_img_prop_lvl_per_s": round(train_rate, 1),
+        "train_seconds_16img_d6": round(tr_dt, 2),
     }
+    if dev_b is not None:
+        result["device_ms_per_batch"] = round(dev_b["device_ms"], 3)
+        result["device_ms_per_frame_batched"] = round(
+            dev_b["device_ms"] / B, 3
+        )
+        result["device_utilization_batched"] = round(
+            dev_b["device_ms"] / dev_b["wall_ms"], 3
+        )
+        result["device_stage_ms_per_batch"] = {
+            k: round(v, 3)
+            for k, v in sorted(
+                dev_b["stages"].items(), key=lambda x: -x[1]
+            )
+            if v >= 0.005
+        }
+    if dev_1 is not None:
+        # the single-frame program's device time per frame — the honest
+        # frame->fingertip latency floor on local (non-tunneled) hardware
+        result["p50_device_ms"] = round(dev_1["device_ms"], 3)
     print(json.dumps(result))
 
 

@@ -37,8 +37,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT = "models/flagship"
-DS = "/tmp/flagship_v2_ds"
+OUT = os.environ.get("B3D_V2_OUT", "models/flagship")
+DS = os.environ.get("B3D_V2_DS", "/tmp/flagship_v2_ds")
 FINE_DEPTH = 16
 COARSE_DEPTH = 8
 TREES = 4
@@ -52,8 +52,17 @@ from beats3d_tpu.data.synth import (  # noqa: E402
 
 def scene_v2(intrin, rng):
     """One full-res articulated-hand frame (training generator: single
-    right hand, random pose) — see beats3d_tpu/data/synth.py."""
-    return articulated_scene(intrin, rng, two_hands=False)
+    right hand, random pose) — see beats3d_tpu/data/synth.py.
+
+    B3D_V2_DETAIL / B3D_V2_NOISE (floats) raise datagen realism one notch
+    (VERDICT r3 #9): surface relief on the hand (knuckle ridges, palm
+    creases) and D415-style sensor degradation (z^2 noise, disparity
+    quantization, edge dropout, speckle) — see synth.apply_sensor_noise."""
+    return articulated_scene(
+        intrin, rng, two_hands=False,
+        detail=float(os.environ.get("B3D_V2_DETAIL", "0")),
+        noise_scale=float(os.environ.get("B3D_V2_NOISE", "0")),
+    )
 
 
 def rss_gb():

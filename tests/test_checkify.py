@@ -155,3 +155,93 @@ def test_checkify_actually_catches():
     err, _ = jax.jit(checkify.checkify(
         lambda i: jnp.zeros((4,))[i], errors=CHECKS))(jnp.int32(9))
     assert err.get() is not None
+
+
+def test_training_histogram_invariants(rng):
+    """Training-step sanitizers (VERDICT r3 #6): the reference guards its
+    histogram merge with device asserts (tree_train.cu:156,181 — a child
+    histogram may never exceed its parent).  Here the same invariants run
+    as checkify user checks INSIDE the jitted histogram step, alongside the
+    automatic index/NaN instrumentation."""
+    from beats3d_tpu.train import make_random_features
+    from beats3d_tpu.train.trainer import _histogram_step
+
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=2, h=16, w=24)
+    nodes = np.where(labels > 0, 0, -1).astype(np.int32)
+    props = jnp.asarray(make_random_features(8, rng))
+
+    def step(d, l, n, p):
+        left, total = _histogram_step(
+            d, l, n, p, num_classes=4, w2=1, node_lo=0, chunk=1 << 10,
+            use_matmul=True,
+        )
+        checkify.check(jnp.all(left >= 0), "negative left count")
+        checkify.check(
+            jnp.all(total[None] - left >= 0),
+            "left child exceeds parent: left+right != parent "
+            "(tree_train.cu:156,181)",
+        )
+        return left, total
+
+    fn = checkify.checkify(
+        step, errors=CHECKS | checkify.user_checks)
+    err, (left, total) = jax.jit(fn)(
+        jnp.asarray(depth), jnp.asarray(labels), jnp.asarray(nodes), props)
+    _assert_clean(err)
+    # cross-check the parent totals against the plain label histogram:
+    # bin k counts label k; label 0 (background) is node -1 -> masked out
+    want = np.stack([
+        0 if k == 0 else np.sum(np.asarray(labels) == k) for k in range(4)
+    ])
+    np.testing.assert_array_equal(np.asarray(total)[0], want)
+
+
+def test_training_gini_and_advance_checks(rng):
+    """Gain merge + level advance under float/index sanitizers: no NaN
+    gains for active nodes, and advanced node ids stay inside the next
+    level (tree_train.cu:275-324)."""
+    from beats3d_tpu.train import make_random_features
+    from beats3d_tpu.train.trainer import (
+        _advance_step, _histogram_step, _pick_best_step)
+
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=2, h=16, w=24)
+    nodes = np.where(labels > 0, 0, -1).astype(np.int32)
+    props_np = make_random_features(8, rng)
+    props = jnp.asarray(props_np)
+    left, total = _histogram_step(
+        jnp.asarray(depth), jnp.asarray(labels), jnp.asarray(nodes), props,
+        num_classes=4, w2=1, node_lo=0, chunk=1 << 10, use_matmul=True)
+
+    active = jnp.asarray(np.array([0], np.int32))
+    parent = jnp.asarray(np.asarray(total).astype(np.float32))
+
+    def pick(a, pc, l, t, p):
+        g, bp, bl, br = _pick_best_step(
+            a, pc, l, t, p,
+            jnp.full((1,), -1.0), jnp.zeros((1, 5)), jnp.zeros((1, 4)),
+            jnp.zeros((1, 4)), w2=1, parent_lo=0)
+        checkify.check(jnp.all(jnp.isfinite(g)), "NaN/inf gain")
+        checkify.check(jnp.all(bl + br - pc < 0.5), "left+right != parent")
+        return g, bp, bl, br
+
+    fn = checkify.checkify(pick, errors=CHECKS | checkify.user_checks)
+    err, (g, bp, bl, br) = jax.jit(fn)(active, parent, left, total, props)
+    _assert_clean(err)
+
+    lvl_params = jnp.asarray(np.asarray(bp))
+    lvl_status = jnp.asarray(np.full((1, 2), -1, np.int32))
+
+    def adv(d, n, p, s):
+        out = _advance_step(d, n, p, s)
+        checkify.check(
+            jnp.all((out >= -1) & (out < 2)),
+            "advanced node id outside the next level",
+        )
+        return out
+
+    fn2 = checkify.checkify(adv, errors=CHECKS | checkify.user_checks)
+    err2, out = jax.jit(fn2)(
+        jnp.asarray(depth), jnp.asarray(nodes), lvl_params, lvl_status)
+    _assert_clean(err2)
+    o = np.asarray(out)
+    assert ((o == -1) | (o == 0) | (o == 1)).all()

@@ -52,3 +52,48 @@ def test_two_hands_found_by_front():
     g = np.asarray(g_info)
     assert g[0, 0] > 0 and g[1, 0] > 0  # both hands found
     assert g[0, 1] < small.shape[1] / 2 <= g[1, 1]  # left/right split
+
+
+def test_sensor_noise_model(rng):
+    """apply_sensor_noise (VERDICT r3 #9): z^2-growing noise, edge dropout,
+    speckle — missing pixels stay missing, valid interior survives."""
+    from beats3d_tpu.data.synth import apply_sensor_noise
+
+    h, w = 120, 160
+    depth = np.full((h, w), 2600, np.uint16)
+    depth[:, :20] = 0                      # already-missing region
+    depth[40:80, 60:100] = 2100            # a raised block -> strong edges
+    noisy = apply_sensor_noise(depth, rng)
+
+    assert noisy.dtype == np.uint16
+    assert (noisy[:, :20] == 0).all()      # missing stays missing
+    # interior pixels jitter by a few units, not wildly
+    inner = noisy[10:30, 40:60].astype(np.int64)
+    live = inner > 0
+    assert live.mean() > 0.9
+    dev = np.abs(inner[live] - 2600)
+    assert dev.mean() < 8 and dev.max() < 30
+    # edge band loses a meaningful fraction of pixels to dropout
+    edge_band = noisy[39:42, 60:100]
+    assert (edge_band == 0).mean() > 0.15
+    # speckle exists but is sparse
+    flat = noisy[90:119, 40:159]
+    assert 0 < (flat == 0).mean() < 0.05
+
+
+def test_hand_cloud_detail_relief(rng):
+    """detail > 0 adds measurable surface relief without breaking part
+    structure (same point count ordering, finite coords)."""
+    from beats3d_tpu.data.synth import hand_cloud
+
+    r1 = np.random.default_rng(11)
+    r2 = np.random.default_rng(11)
+    p0, c0 = hand_cloud(r1, flex_scale=0.5, detail=0.0)
+    p1, c1 = hand_cloud(r2, flex_scale=0.5, detail=3.0)
+    assert p0.shape == p1.shape
+    np.testing.assert_array_equal(c0, c1)
+    dz = p1[:, 2] - p0[:, 2]
+    assert np.isfinite(p1).all()
+    assert np.abs(dz).max() > 1.0          # relief present
+    assert np.abs(dz).max() < 12.0         # but bounded
+    np.testing.assert_allclose(p1[:, :2], p0[:, :2], atol=1e-5)
