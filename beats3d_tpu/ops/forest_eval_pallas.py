@@ -130,6 +130,14 @@ _SWEEP_BATCH = _SWEEP_MODE == "4"
 # node-cluster's window-start row is SUBLANE-INVARIANT, so every band needs
 # nearly every cell and the split only multiplied serve work; measured
 # 94.4 ms vs 77.6 at split 2 on the flagship sweep.)
+
+# Cells extracted (and served) per probe per sweep iteration.  2 halves the
+# trip count — the SECOND-smallest distinct cell comes from the same
+# batched reduce by masking the lane-broadcast min (a log2(LANE) roll-min
+# chain on the stacked rows) before a second per-row reduce, sharing one
+# scratch round-trip — at the cost of doubled serve slots per trip; whether
+# amortizing the per-trip fixed overhead pays is an A/B question.
+_MULTI = int(os.environ.get("B3D_EVAL_MULTI", "1"))
 _ANCHOR_MAX = int(os.environ.get("B3D_EVAL_ANCHOR_MAX", "6"))
 
 # 1 = ONE window base per (u, v) probe PAIR of the same walk: the pair's
@@ -155,9 +163,10 @@ _UNION_COMPS = os.environ.get("B3D_EVAL_UNION", "1") == "1"
 # per-tree chunk-bound reduces and run a fully-unrolled STATIC sweep over
 # every chunk: 2 cross-lane reduces (serial ~latency) traded for <= N-1
 # extra straight-line load+shuffle iterations Mosaic can pipeline.  0
-# disables (always dynamic).  Default 16 (<= 2048-node levels static):
-# 16 -> 23.3 ms vs 8 -> 23.5 / 4 -> 24.9+ / 32 -> 23.6 on the flagship
-# sweep (scripts/ab_flagship_knobs.py).
+# disables (always dynamic).  Default 8: with the batched cross-tree sweeps
+# (_CBATCH) carrying the wide levels, 8 -> 77.6 ms vs 16 -> 79.4 / 4 -> 79.4
+# on the articulated flagship sweep (scripts/ab_flagship_knobs.py; the old
+# per-tree-loop optimum was 16).
 _STATIC_CHUNKS = int(os.environ.get("B3D_EVAL_STATCHUNKS", "8"))
 
 # Total anchored static-window passes: passes 2..N re-anchor on the previous
@@ -656,43 +665,90 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
             # replaces unpack + two selects per serve (78.5 vs 81.5 ms on
             # the flagship sweep)
             shifts = [(p[0] & 1) << 4 for p in preps]
-            ms0, g0 = batched_scalar_mins(rems)
+            nE = max(1, min(_MULTI, 2))
+
+            def probe_mins(rems_l):
+                """Per-probe smallest (and with _MULTI=2 second-smallest
+                distinct) remaining cell ids — ONE scratch round-trip for
+                everything (see batched_scalar_mins / _MULTI)."""
+                if nE == 1:
+                    ms, g = batched_scalar_mins(rems_l)
+                    return [ms], g
+                s1, s2 = [], []
+                col = 0
+                for i in range(0, nP, SUB):
+                    grp = rems_l[i : i + SUB]
+                    k = len(grp)
+                    rows = [
+                        jnp.min(r, axis=0, keepdims=True) for r in grp
+                    ]
+                    while len(rows) < SUB:
+                        rows.append(rows[0])
+                    g8 = jnp.concatenate(rows, axis=0)
+                    scratch_ref[0:SUB, col : col + 1] = jnp.min(
+                        g8, axis=1, keepdims=True
+                    )
+                    b = g8  # lane-broadcast min via log2 roll-min chain
+                    for sh in (64, 32, 16, 8, 4, 2, 1):
+                        b = jnp.minimum(b, pltpu.roll(b, sh, 1))
+                    g8b = jnp.where(g8 == b, big, g8)
+                    scratch_ref[0:SUB, col + 1 : col + 2] = jnp.min(
+                        g8b, axis=1, keepdims=True
+                    )
+                    for j in range(k):
+                        s1.append(scratch_ref[j, col])
+                        s2.append(scratch_ref[j, col + 1])
+                    col += 2
+                g = s1[0]
+                for s in s1[1:]:
+                    g = jnp.minimum(g, s)
+                return [s1, s2], g
+
+            ms0, g0 = probe_mins(rems)
 
             def cond(c):
                 return c[0] < big
 
             def body(c):
-                ms = list(c[1 : 1 + nP])
-                rems_l = list(c[1 + nP : 1 + 2 * nP])
-                accs_l = list(c[1 + 2 * nP :])
+                ms = [
+                    list(c[1 + e * nP : 1 + (e + 1) * nP])
+                    for e in range(nE)
+                ]
+                rems_l = list(c[1 + nE * nP : 1 + (nE + 1) * nP])
+                accs_l = list(c[1 + (nE + 1) * nP :])
                 new_rems = []
                 for p, (srow, chunk, lane_idx, oob, serve, inst) in (
                         enumerate(preps)):
-                    m = ms[p]
-                    # valid cells have q in [0, max_half] (the plane is
-                    # padded so an aligned 16-row load at max_half fits);
-                    # only the m == big sentinel needs clamping.
-                    q = m // n_chunks_img
-                    cix = jnp.clip(
-                        m - q * n_chunks_img, 0, n_chunks_img - 1
-                    )
-                    q = jnp.minimum(q, max_half)
-                    win = window(planes[inst], q, cix)
-                    v = jnp.take_along_axis(win, lane_idx, axis=1)
-                    val = jax.lax.shift_right_logical(
-                        v, shifts[p]
-                    ) & 0xFFFF
-                    hit = (rems_l[p] == m) & (m < big)
-                    accs_l[p] = jnp.where(hit, val, accs_l[p])
-                    new_rems.append(jnp.where(hit, big, rems_l[p]))
-                ms_n, g_n = batched_scalar_mins(new_rems)
-                return (g_n,) + tuple(ms_n) + tuple(new_rems) + tuple(
+                    rem = rems_l[p]
+                    for e in range(nE):
+                        m = ms[e][p]
+                        # valid cells have q in [0, max_half] (the plane
+                        # is padded so an aligned 16-row load at max_half
+                        # fits); only the m == big sentinel needs clamping.
+                        q = m // n_chunks_img
+                        cix = jnp.clip(
+                            m - q * n_chunks_img, 0, n_chunks_img - 1
+                        )
+                        q = jnp.minimum(q, max_half)
+                        win = window(planes[inst], q, cix)
+                        v = jnp.take_along_axis(win, lane_idx, axis=1)
+                        val = jax.lax.shift_right_logical(
+                            v, shifts[p]
+                        ) & 0xFFFF
+                        hit = (rem == m) & (m < big)
+                        accs_l[p] = jnp.where(hit, val, accs_l[p])
+                        rem = jnp.where(hit, big, rem)
+                    new_rems.append(rem)
+                ms_n, g_n = probe_mins(new_rems)
+                flat_ms = sum(ms_n, [])
+                return (g_n,) + tuple(flat_ms) + tuple(new_rems) + tuple(
                     accs_l)
 
             out = jax.lax.while_loop(
-                cond, body, (g0,) + tuple(ms0) + tuple(rems) + tuple(accs)
+                cond, body,
+                (g0,) + tuple(sum(ms0, [])) + tuple(rems) + tuple(accs),
             )
-            accs = out[1 + 2 * nP :]
+            accs = out[1 + (nE + 1) * nP :]
             return tuple(
                 jnp.where(p[3], MAX_UINT16, a)
                 for a, p in zip(accs, preps)

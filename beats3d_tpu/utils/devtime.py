@@ -64,10 +64,21 @@ def parse_trace(logdir):
     per_op = {}
     busy_ms = 0.0
     for plane in dev_planes:
-        for line in plane.lines:
-            lname = line.name.lower()
-            if "step" in lname or "framework" in lname or "module" in lname:
-                continue
+        # the TPU plane exports parallel views of the SAME execution
+        # ('XLA Modules' wraps 'XLA Ops'; 'Async XLA Ops' shadows async
+        # slices of it): summing their unions double-counts.  Use the
+        # 'XLA Ops' line alone when present; busy time is the MAX union
+        # across lines, not the sum.
+        lines = [
+            l for l in plane.lines
+            if not any(k in l.name.lower()
+                       for k in ("step", "framework", "module"))
+        ]
+        ops_only = [l for l in lines if l.name.lower() == "xla ops"]
+        if ops_only:
+            lines = ops_only
+        plane_busy = 0.0
+        for line in lines:
             evs = []
             for ev in line.events:
                 md = plane.event_metadata[ev.metadata_id]
@@ -83,14 +94,17 @@ def parse_trace(logdir):
                     agg = per_op.setdefault(name, [0.0, 0])
                     agg[0] += (en - st) / 1e9
                     agg[1] += 1
+            line_busy = 0.0
             cur_s, cur_e = evs[0][0], evs[0][1]
             for st, en, _ in evs[1:]:
                 if st > cur_e:
-                    busy_ms += (cur_e - cur_s) / 1e9
+                    line_busy += (cur_e - cur_s) / 1e9
                     cur_s, cur_e = st, en
                 else:
                     cur_e = max(cur_e, en)
-            busy_ms += (cur_e - cur_s) / 1e9
+            line_busy += (cur_e - cur_s) / 1e9
+            plane_busy = max(plane_busy, line_busy)
+        busy_ms += plane_busy
 
     stages = {}
     for name, (ms, cnt) in per_op.items():

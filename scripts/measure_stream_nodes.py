@@ -63,9 +63,15 @@ def main():
     # re-running compression on the final state per level is not possible --
     # instead we instrument globally: monkeypatch CompressedBlocksDynamic to
     # record sizes on every write.
+    # stream_codec (default) replaces the zlib node store with
+    # DeviceCodecDynamic (device-side RLE decode); instrument BOTH so the
+    # script measures whichever economy is active.  The nodes store is the
+    # THIRD codec instance the trainer creates (depth, labels, nodes).
     from beats3d_tpu.data import blocks as blocks_mod
+    from beats3d_tpu.data import device_codec as codec_mod
 
     events = []
+    inst_count = {"n": 0}
 
     class Instrumented(blocks_mod.CompressedBlocksDynamic):
         def write_block(self, i, arr):
@@ -74,21 +80,38 @@ def main():
                 (time.time() - t0, self.compressed_bytes, self.raw_bytes)
             )
 
+    class InstrumentedCodec(codec_mod.DeviceCodecDynamic):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            inst_count["n"] += 1
+            self._is_nodes = inst_count["n"] == 3
+
+        def write_block(self, i, arr):
+            super().write_block(i, arr)
+            if self._is_nodes:
+                events.append(
+                    (time.time() - t0, self.compressed_bytes(),
+                     self.raw_bytes())
+                )
+
     trmod.__dict__  # keep linters quiet
     blocks_mod.CompressedBlocksDynamic_orig = blocks_mod.CompressedBlocksDynamic
     blocks_mod.CompressedBlocksDynamic = Instrumented
+    codec_mod.DeviceCodecDynamic_orig = codec_mod.DeviceCodecDynamic
+    codec_mod.DeviceCodecDynamic = InstrumentedCodec
     try:
         trainer.train(ds, tree, rng=np.random.default_rng(99))
     finally:
         blocks_mod.CompressedBlocksDynamic = (
             blocks_mod.CompressedBlocksDynamic_orig
         )
+        codec_mod.DeviceCodecDynamic = codec_mod.DeviceCodecDynamic_orig
         trmod._advance_step = orig_adv
 
     wall = time.time() - t0
     nb = trainer.num_image_blocks
     # events: nb initial writes, then nb per level
-    raw = events[0][2]
+    raw = max(e[2] for e in events)  # full dataset after all writes
     per_level = []
     for lvl in range(len(events) // nb):
         t_end, comp, _ = events[lvl * nb + nb - 1]

@@ -79,84 +79,10 @@ def capture(b=16, iters=12):
 
 
 def report(logdir=LOGDIR, iters=None):
-    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    from beats3d_tpu.utils.devtime import parse_trace
 
-    paths = sorted(
-        glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True),
-        key=os.path.getmtime,
-    )
-    if not paths:
-        print(f"no .xplane.pb under {logdir}", file=sys.stderr)
-        sys.exit(1)
-    xspace = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
-
-    dev_planes = [
-        p for p in xspace.planes
-        if ("TPU" in p.name or "/device" in p.name.lower())
-        and "host" not in p.name.lower()
-    ]
-    if not dev_planes:
-        print("planes found:", [p.name for p in xspace.planes])
-        print("NO DEVICE PLANE — runtime may not export device traces",
-              file=sys.stderr)
-        sys.exit(2)
-
-    # Collect raw intervals per device line; XLA emits NESTED events
-    # (conditional/while wrappers cover the ops inside them), so attribution
-    # must only count LEAVES, and "device busy" is the interval union.
-    per_op = {}
-    union_ms = 0.0
-    for plane in dev_planes:
-        for line in plane.lines:
-            lname = line.name.lower()
-            if "step" in lname or "framework" in lname or "module" in lname:
-                continue
-            evs = []
-            for ev in line.events:
-                md = plane.event_metadata[ev.metadata_id]
-                evs.append(
-                    (ev.offset_ps, ev.offset_ps + ev.duration_ps, md.name)
-                )
-            if not evs:
-                continue
-            evs.sort()
-            # leaf = no other event starts inside me (events are properly
-            # nested on a device line)
-            for i, (st, en, name) in enumerate(evs):
-                is_leaf = True
-                if i + 1 < len(evs):
-                    nst = evs[i + 1][0]
-                    if nst < en:
-                        is_leaf = False
-                if is_leaf:
-                    agg = per_op.setdefault(name, [0.0, 0])
-                    agg[0] += (en - st) / 1e9
-                    agg[1] += 1
-            # busy union
-            cur_s, cur_e = evs[0][0], evs[0][1]
-            for st, en, _ in evs[1:]:
-                if st > cur_e:
-                    union_ms += (cur_e - cur_s) / 1e9
-                    cur_s, cur_e = st, en
-                else:
-                    cur_e = max(cur_e, en)
-            union_ms += (cur_e - cur_s) / 1e9
-
+    union_ms, per_op, stages = parse_trace(logdir)
     total = sum(v[0] for v in per_op.values())
-    stages = {}
-    for name, (ms, cnt) in per_op.items():
-        for sname, pat in STAGES:
-            if re.search(pat, name.split(" = ")[0] + " " +
-                         name.split(" = ")[-1][:40], re.I):
-                break
-        else:
-            sname = "other"
-        s = stages.setdefault(sname, [0.0, 0])
-        s[0] += ms
-        s[1] += cnt
 
     print(f"\n== device time: busy {union_ms:.2f} ms, leaf-op sum "
           f"{total:.2f} ms over trace ==")
