@@ -279,3 +279,30 @@ def test_pallas_needed_set_table_sweeps(rng, monkeypatch):
         fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_batched_sweep_edge_cases(rng):
+    """SWEEP=4 (default) edge cases: probes mostly out of bounds (near-empty
+    needed sets -> near-zero-trip loops) and bottom-edge window starts at
+    the max packed row."""
+    # forest with HUGE offsets: most probes OOB
+    flat = fixtures.random_forest_flat(rng, 2, 4, 3, off_mag=2.0e6)
+    tables, meta = fep.pack_tables_pallas(flat)
+    depth = fixtures.random_depth_image(rng, 1, 24, 136)
+    want = oracle.eval_forest(depth, flat, 4, 3)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # bottom-edge targets: offsets push every probe downward
+    flat2 = fixtures.random_forest_flat(rng, 2, 3, 3, off_mag=300.0)
+    flat2[:, :, 1] = np.abs(flat2[:, :, 1])   # uy >= 0 -> down
+    flat2[:, :, 3] = np.abs(flat2[:, :, 3])
+    tables2, meta2 = fep.pack_tables_pallas(flat2)
+    depth2 = fixtures.random_depth_image(rng, 1, 16, 128)
+    want2 = oracle.eval_forest(depth2, flat2, 3, 3)
+    got2 = np.asarray(
+        fep.evaluate_forest_pallas(depth2, tables2, meta2, interpret=True)
+    )
+    np.testing.assert_array_equal(got2, want2)
