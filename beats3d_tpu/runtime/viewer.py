@@ -145,6 +145,7 @@ class ViewerState:
             "heights": [[0.0] * 5, [0.0] * 5],
             "thresholds": [[0.0] * 5, [0.0] * 5],
             "note_on": [[False] * 5, [False] * 5],
+            "guard_muted": [False, False],
             "labels_png": None,
             "midi_ports": [], "midi_port": -1,
         }
@@ -162,10 +163,16 @@ class ViewerState:
         self._last = now
 
         heights = [[0.0] * 5, [0.0] * 5]
+        muted = [False, False]
         if out is not None:
             hv = np.asarray(out["heights"])
             for h in range(2):
                 heights[h] = [float(v) for v in hv[h]]
+            if "guard_muted" in out:
+                # incoherence-guard verdicts: lets the dashboard show "hand
+                # muted by guard" instead of "no hand" (pipeline.frame_step)
+                gm = np.asarray(out["guard_muted"]).reshape(-1)[:2]
+                muted = [bool(v) for v in gm]
         thresholds = [
             [float(f.z_thresh) for f in hs.fingertips]
             for hs in app.hand_states
@@ -193,6 +200,7 @@ class ViewerState:
             st["heights"] = heights
             st["thresholds"] = thresholds
             st["note_on"] = note_on
+            st["guard_muted"] = muted
             # rtmidi port list for the selector (3d_bz.py:311-317); the sink
             # fallback shows an empty list.
             st["midi_ports"] = list(getattr(app.midi, "port_names", []))
