@@ -138,6 +138,13 @@ _SWEEP_BATCH = _SWEEP_MODE == "4"
 # scratch round-trip — at the cost of doubled serve slots per trip; whether
 # amortizing the per-trip fixed overhead pays is an A/B question.
 _MULTI = int(os.environ.get("B3D_EVAL_MULTI", "1"))
+
+# 1 = PRE-ROTATED plane copies: the packed depth plane ships as 8 copies,
+# copy k shifted up k packed rows, so every window serve is ONE aligned
+# (8, 128) load from copy[p % 8] instead of an aligned 16-row load + roll.
+# Trades 8x plane VMEM (~4 MB per crop slot) + a cheap XLA preamble for
+# removing the roll + half the load bytes from every serve slot.
+_PREROT = os.environ.get("B3D_EVAL_PREROT", "0") == "1"
 _ANCHOR_MAX = int(os.environ.get("B3D_EVAL_ANCHOR_MAX", "6"))
 
 # 1 = ONE window base per (u, v) probe PAIR of the same walk: the pair's
@@ -439,9 +446,18 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
         def window(plane_ref, p, cix):
             """(SUB, LANE) rows [p, p+8) of a plane: Mosaic requires
             8-aligned sublane starts, so load an aligned 16-row block and
-            roll the residue away."""
+            roll the residue away — or, with _PREROT, load directly from
+            the pre-rotated copy whose shift matches p % 8 (one aligned
+            (8, 128) load, no roll; see _prep_planes)."""
             p_al = pl.multiple_of((p // SUB) * SUB, SUB)
             off = p - p_al
+            if _PREROT:
+                return plane_ref[
+                    0,
+                    off,
+                    pl.ds(p_al, SUB),
+                    pl.ds(pl.multiple_of(cix * LANE, LANE), LANE),
+                ]
             blk = plane_ref[
                 0,
                 pl.ds(p_al, 2 * SUB),
@@ -786,7 +802,11 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                 q = b * SUB  # aligned packed-row start of this block
                 col = pl.ds(pl.multiple_of(cix * LANE, LANE), LANE)
                 rowsl = pl.ds(pl.multiple_of(q, SUB), 2 * SUB)
-                p16s = {s: planes[s][0, rowsl, col] for s in insts_used}
+                p16s = {
+                    s: (planes[s][0, 0, rowsl, col] if _PREROT
+                        else planes[s][0, rowsl, col])
+                    for s in insts_used
+                }
                 accs = list(accs)
                 inchunk = [p[1] == cix for p in preps]
                 srel = [p[0] - 2 * q for p in preps]  # block-relative start
@@ -1737,9 +1757,17 @@ def _prep_planes(di, r, hl_pad, wl_pad):
     # (max srow = h-1+APRON_T in 2x packed units).
     w_pad = ((w + LANE - 1) // LANE) * LANE
     packed_rows = (((h + APRON_T - 1) // 2) // SUB) * SUB + 2 * SUB
-    pad_b = packed_rows * 2 - h - APRON_T
+    ext = SUB if _PREROT else 0  # room for the shifted copies' tails
+    pad_b = (packed_rows + ext) * 2 - h - APRON_T
     padded = jnp.pad(di, ((0, 0), (APRON_T, pad_b), (0, w_pad - w)))
     depth_packed = padded[:, 0::2, :] | (padded[:, 1::2, :] << 16)
+    if _PREROT:
+        # (N, 8, rows, w): copy k = rows shifted up by k, so window(p, c)
+        # is a direct aligned load from [k = p % 8, (p // 8) * 8]
+        depth_packed = jnp.stack(
+            [depth_packed[:, k : k + packed_rows] for k in range(SUB)],
+            axis=1,
+        )
     d_center = di[:, ::r, ::r]
     if hl_pad != hl or wl_pad != wl:
         d_center = jnp.pad(
@@ -1816,7 +1844,8 @@ def _run_pallas(
     grid = (n, hl_pad // SUB, wl_pad // LANE)
     plane_spec = pl.BlockSpec(
         (1,) + depth_packed.shape[1:],
-        lambda nn, ty, tx: (nn, 0, 0),
+        (lambda nn, ty, tx: (nn, 0, 0, 0)) if _PREROT
+        else (lambda nn, ty, tx: (nn, 0, 0)),
         memory_space=pltpu.VMEM,
     )
     tile_spec = pl.BlockSpec(
@@ -2074,7 +2103,8 @@ def _run_layered_pallas(
 
     def plane_map_s(s):
         def m(i, idx):
-            return (idx[K * i + s] // (nty * ntx), 0, 0)
+            base = (idx[K * i + s] // (nty * ntx), 0, 0)
+            return base + (0,) if _PREROT else base
         return m
 
     def tile_map_s(s):
