@@ -39,6 +39,11 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 FLAGSHIP = os.path.join(HERE, "models", "flagship")
 
+# Floor for the one-adversarial-frame-in-batch throughput ratios (VERDICT
+# r4 #6): a batch with one oversized/incoherent frame must keep at least
+# this fraction of the clean-batch fps.
+ADV_FLOOR = 0.8
+
 
 def _scene(intrin):
     """Two plain blobs over a tilted table (the --check parity scene)."""
@@ -315,6 +320,17 @@ def main():
         "fps_synthetic_model": round(fps_syn, 2),
         "fps_one_oversized_frame": round(fps_oversized, 2),
         "fps_one_incoherent_frame": round(fps_incoherent, 2),
+        # Tracked bars (VERDICT r4 #6): one adversarial frame in the batch
+        # must keep >= ADV_FLOOR of the clean-batch fps — the rescue
+        # (budgeted second dispatch) and guard (per-image skip) paths
+        # regress loudly, not silently.  r4 ratios: 0.84 / 1.04.
+        "adv_ratio_oversized": round(fps_oversized / fps_batched, 3),
+        "adv_ratio_incoherent": round(fps_incoherent / fps_batched, 3),
+        "adv_ratio_floor": ADV_FLOOR,
+        "adv_ratios_ok": bool(
+            fps_oversized / fps_batched >= ADV_FLOOR
+            and fps_incoherent / fps_batched >= ADV_FLOOR
+        ),
         "fps_full_pose_range": round(fps_full_pose, 2),
         "fps_single_stream": round(fps_single, 2),
         "latency_ms_amortized": round(dt_single * 1e3, 2),
