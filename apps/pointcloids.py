@@ -10,7 +10,6 @@ zoom; plane inliers tinted) plus plane statistics on stdout.
 """
 
 import argparse
-import json
 import os
 import sys
 
@@ -19,43 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 from beats3d_tpu.runtime import camera
-
-HTML = """<!doctype html><html><head><meta charset="utf-8">
-<title>pointcloids</title><style>
- body{margin:0;background:#0b0b10;color:#ccc;font:12px monospace}
- #info{position:fixed;top:8px;left:10px}
- canvas{display:block}
-</style></head><body>
-<div id="info">%INFO% — drag: orbit, wheel: zoom</div>
-<canvas id="c"></canvas>
-<script>
-const pts=%POINTS%; const cols=%COLORS%;
-const cv=document.getElementById('c'), g=cv.getContext('2d');
-let W,H; function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;}
-rs(); onresize=rs;
-let rx=-0.9, rz=0.0, zoom=0.9, cx=0, cy=0, czm=0;
-for(const p of pts){cx+=p[0];cy+=p[1];czm+=p[2];}
-cx/=pts.length; cy/=pts.length; czm/=pts.length;
-let drag=null;
-cv.onmousedown=e=>drag=[e.clientX,e.clientY];
-onmouseup=()=>drag=null;
-onmousemove=e=>{if(!drag)return; rz+=(e.clientX-drag[0])*0.008;
- rx+=(e.clientY-drag[1])*0.008; drag=[e.clientX,e.clientY]; draw();};
-onwheel=e=>{zoom*=e.deltaY<0?1.1:0.9; draw();};
-function draw(){
- g.fillStyle='#0b0b10'; g.fillRect(0,0,W,H);
- const s=Math.min(W,H)*zoom*0.0004;
- const ca=Math.cos(rz),sa=Math.sin(rz),cb=Math.cos(rx),sb=Math.sin(rx);
- for(let i=0;i<pts.length;i++){
-  const x=pts[i][0]-cx, y=pts[i][1]-cy, z=pts[i][2]-czm;
-  const x1=x*ca-y*sa, y1=x*sa+y*ca;
-  const y2=y1*cb-z*sb, z2=y1*sb+z*cb;
-  g.fillStyle=cols[i];
-  g.fillRect(W/2+x1*s, H/2+y2*s, 2, 2);
- }
-}
-draw();
-</script></body></html>"""
+from beats3d_tpu.utils.orbit_html import write_orbit_html
 
 
 def deproject(depth, intrin, stride):
@@ -131,15 +94,11 @@ def main():
         np.where(np.abs(dist[sel]) < args.plane_threshold, "#4a69bd",
                  "#556"),
     )
-    html = (
-        HTML
-        .replace("%INFO%", f"{keep} pts, normal {np.round(nrm, 3).tolist()}, "
-                           f"{inliers} inliers")
-        .replace("%POINTS%", json.dumps(np.round(pts[sel], 1).tolist()))
-        .replace("%COLORS%", json.dumps(colors.tolist()))
+    write_orbit_html(
+        args.out, pts[sel], colors.tolist(),
+        f"{keep} pts, normal {np.round(nrm, 3).tolist()}, {inliers} inliers",
+        title="pointcloids",
     )
-    with open(args.out, "w") as f:
-        f.write(html)
     print(f"wrote {args.out}")
 
 

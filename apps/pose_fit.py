@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--iterations", type=int, default=200)
     parser.add_argument("--target_label", type=int, default=1)
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--view", type=str, default=None, metavar="OUT.html",
+        help="write an interactive 3D orbit view of the fit: the target-"
+             "label point cloud plus the cylinder at each accepted pose "
+             "(the reference's live GL fit view, ref pose_fit.py:90-385)")
     camera.add_args(parser)
     args = parser.parse_args()
 
@@ -80,6 +85,7 @@ def main():
     init.s[:] = [200.0 * 1.3, 200.0, 800.0]
 
     obs = np.asarray(points.remove_missing_3d_points_from_depth_image(qf, depth))
+    poses = []
     best, cost, history = fit_cylinder(
         obs, np.asarray(labels), mat, init,
         intrin.pp, intrin.fx,
@@ -87,9 +93,53 @@ def main():
         iterations=args.iterations,
         rng=np.random.default_rng(args.seed),
         log=print,
+        on_improve=lambda i, c, tf: poses.append((i, c, tf)),
     )
     print(f"final cost {cost:.1f}; t={best.t} r={best.r} s={best.s}")
+    if args.view:
+        write_fit_view(
+            args.view, np.asarray(qf), np.asarray(labels),
+            args.target_label, poses,
+        )
+        print(f"wrote {args.view}")
     source.stop()
+
+
+def write_fit_view(out, qf, labels, target_label, poses, max_obs=25000):
+    """Orbit-viewer HTML of the fit: target-label observation cloud (blue)
+    + the cylinder surface at up to 6 accepted poses, early poses dim,
+    the final pose bright green."""
+    from beats3d_tpu.ops.posefit import cylinder_surface
+    from beats3d_tpu.utils.orbit_html import write_orbit_html
+
+    sel = (labels == target_label) & (qf[..., 2] != 0)
+    cloud = qf[sel][:, :3]
+    if cloud.shape[0] > max_obs:
+        cloud = cloud[:: cloud.shape[0] // max_obs + 1]
+    pts = [cloud]
+    cols = ["#4a69bd"] * cloud.shape[0]
+
+    if len(poses) > 6:  # first, last, and 4 spread between
+        keep = [0] + list(
+            np.linspace(1, len(poses) - 2, 4).astype(int)
+        ) + [len(poses) - 1]
+        poses = [poses[i] for i in keep]
+    surf = cylinder_surface(48, 24)
+    shades = ["#5a4630", "#75592f", "#90702c", "#ab8a25", "#c6a718"]
+    for k, (_, _, tf) in enumerate(poses):
+        final = k == len(poses) - 1
+        p = (tf.get_tform() @ surf.T).T[:, :3]
+        pts.append(p)
+        cols.extend(
+            ["#37e06b" if final else shades[min(k, len(shades) - 1)]]
+            * p.shape[0]
+        )
+    info = (
+        f"pose_fit: {cloud.shape[0]} label-{target_label} pts, "
+        f"{len(poses)} poses (final green), cost "
+        f"{poses[-1][1]:.1f}" if poses else "pose_fit: no poses"
+    )
+    write_orbit_html(out, np.concatenate(pts), cols, info, title="pose_fit")
 
 
 if __name__ == "__main__":

@@ -113,9 +113,15 @@ def fit_cylinder(
     rng: np.random.Generator = None,
     n_samples: int = 96,
     log=None,
+    on_improve=None,
 ):
     """Random-search pose fit (the reference's annealing-ish loop,
-    pose_fit.py:253-317).  Returns (best_tform, best_cost, history)."""
+    pose_fit.py:253-317).  Returns (best_tform, best_cost, history).
+
+    ``on_improve(iteration, cost, tform)`` fires for the initial pose and
+    every accepted improvement — the hook the interactive fit viewer uses
+    (the reference shows fit progress live in its GL window,
+    pose_fit.py:90-385)."""
     rng = rng or np.random.default_rng()
     surface = jnp.asarray(cylinder_surface(n_samples, n_samples))
     inv_plane = np.linalg.inv(plane_mat.astype(np.float64)).astype(np.float32)
@@ -132,12 +138,16 @@ def fit_cylinder(
     best = init
     best_cost = cost_of(init)
     history = [best_cost]
-    for _ in range(iterations):
+    if on_improve:
+        on_improve(0, best_cost, best.copy())
+    for i in range(iterations):
         cand = best.make_random(rng)
         c = cost_of(cand)
         if c < best_cost:
             best, best_cost = cand, c
             if log:
                 log(f"better cost: {best_cost:.1f}")
+            if on_improve:
+                on_improve(i + 1, best_cost, best.copy())
         history.append(best_cost)
     return best, best_cost, history

@@ -1,5 +1,7 @@
 """Point-splat renderer, hole fill, image cost, and pose fitting."""
 
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -115,3 +117,59 @@ def test_fit_cylinder_improves_cost(rng):
     )
     assert c1 <= c0
     assert c1 < 0.8 * c0, (c0, c1)
+
+
+def test_fit_cylinder_on_improve_and_view(rng, tmp_path):
+    """The on_improve hook fires on init + every accepted pose, and the
+    pose_fit orbit-view writer emits a standalone HTML from them."""
+    intrin = CameraIntrinsics.d415(106, 60)
+    true = CylinderTform()
+    true.t[:] = [0.0, 0.0, -400.0]
+    true.s[:] = [150.0, 150.0, 600.0]
+    plane_mat = np.eye(4, dtype=np.float32)
+    plane_mat[2, 3] = -2000.0
+
+    from beats3d_tpu.ops.posefit import render_cylinder_depth
+
+    surface = jnp.asarray(cylinder_surface(64, 64))
+    inv_plane = np.linalg.inv(plane_mat)
+    obs = np.asarray(render_cylinder_depth(
+        surface, jnp.asarray((inv_plane @ true.get_tform()).astype(np.float32)),
+        jnp.asarray(intrin.pp), jnp.float32(intrin.fx),
+        jnp.zeros((60, 106), jnp.uint16),
+    ))
+    labels = (obs > 0).astype(np.uint16)
+    init = true.copy()
+    init.t[0] += 60.0
+
+    poses = []
+    _, cost, _ = fit_cylinder(
+        obs, labels, plane_mat, init, intrin.pp, intrin.fx,
+        iterations=40, rng=np.random.default_rng(0), n_samples=64,
+        on_improve=lambda i, c, tf: poses.append((i, c, tf)),
+    )
+    assert poses and poses[0][0] == 0           # init always recorded
+    costs = [c for _, c, _ in poses]
+    assert costs == sorted(costs, reverse=True)  # strictly improving
+    assert abs(costs[-1] - cost) < 1e-6
+    # recorded tforms are snapshots, not aliases of the mutated best
+    assert len({id(tf) for _, _, tf in poses}) == len(poses)
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "pose_fit_app",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "apps", "pose_fit.py",
+        ),
+    )
+    app = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(app)
+    # a fake plane-space point grid shaped like qf, label-1 where observed
+    qf = np.zeros((60, 106, 4), np.float32)
+    qf[..., 2] = obs
+    out = tmp_path / "fit.html"
+    app.write_fit_view(str(out), qf, labels, 1, poses)
+    html = out.read_text()
+    assert "pose_fit" in html and "orbit" in html and "#37e06b" in html
