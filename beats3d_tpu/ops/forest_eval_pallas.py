@@ -139,6 +139,28 @@ _SWEEP_BATCH = _SWEEP_MODE == "4"
 # amortizing the per-trip fixed overhead pays is an A/B question.
 _MULTI = int(os.environ.get("B3D_EVAL_MULTI", "1"))
 
+# ROWS SERVED PER PROBE PER SWEEP TRIP (batched mode 4 only).  A probe's
+# needed (packed-row, chunk) cells are mostly CONTIGUOUS row runs within a
+# chunk — depth varies smoothly across a tile, so adjacent lanes' targets
+# land on adjacent image rows (scripts/sim_rowspan.py measures the run
+# structure on the trained flagship).  With _RSPAN = D > 1 each trip
+# serves rows q..q+D-1 of the min cell's chunk from ONE (3-sublane-tile)
+# window load: D-1 extra static rolls + shuffles (~20 ns each, pipelinable
+# vector work) replace whole loop trips, each of which costs a serial
+# min-extraction -> scratch round-trip -> dependent-load chain (~300 ns).
+# The plane gets one extra 8-row pad tile so 24-row loads stay in bounds.
+_RSPAN = int(os.environ.get("B3D_EVAL_RSPAN", "1"))
+
+# CHUNKS served per probe per sweep trip: the {q..q+RSPAN-1} x
+# {c..c+WSPAN-1} cell RECTANGLE anchored at the min cell.  A label tile
+# spans 256 image columns = 2 chunks, so even a CONSTANT x-offset splits a
+# probe's cells across 2 adjacent chunks with the SAME row structure
+# (scripts/sim_rowspan.py rect mode) — one extra load + RSPAN more serves
+# per trip collapses that duplication.  Serves whose c+g wraps past the
+# plane edge are gated off (the aliased id belongs to a different real
+# cell and must stay unserved).
+_WSPAN = int(os.environ.get("B3D_EVAL_WSPAN", "1"))
+
 # 1 = PRE-ROTATED plane copies: the packed depth plane ships as 8 copies,
 # copy k shifted up k packed rows, so every window serve is ONE aligned
 # (8, 128) load from copy[p % 8] instead of an aligned 16-row load + roll.
@@ -733,6 +755,13 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                 rems_l = list(c[1 + nE * nP : 1 + (nE + 1) * nP])
                 accs_l = list(c[1 + (nE + 1) * nP :])
                 new_rems = []
+                # Cell RECTANGLE served per trip from wspan window loads
+                # (see _RSPAN/_WSPAN): rows q..q+span-1 of chunks
+                # c..c+wspan-1; runs drain in ceil(run/rect) trips.
+                rect = _PREROT or nE != 1
+                span = _RSPAN if (_RSPAN > 1 and not rect) else 1
+                wspan = _WSPAN if (_WSPAN > 1 and not rect) else 1
+                nload = (3 if span > 1 else 2) * SUB
                 for p, (srow, chunk, lane_idx, oob, serve, inst) in (
                         enumerate(preps)):
                     rem = rems_l[p]
@@ -746,14 +775,50 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                             m - q * n_chunks_img, 0, n_chunks_img - 1
                         )
                         q = jnp.minimum(q, max_half)
-                        win = window(planes[inst], q, cix)
-                        v = jnp.take_along_axis(win, lane_idx, axis=1)
-                        val = jax.lax.shift_right_logical(
-                            v, shifts[p]
-                        ) & 0xFFFF
-                        hit = (rem == m) & (m < big)
-                        accs_l[p] = jnp.where(hit, val, accs_l[p])
-                        rem = jnp.where(hit, big, rem)
+                        if span == 1 and wspan == 1:
+                            wins = [(0, 0, window(planes[inst], q, cix))]
+                        else:
+                            # per chunk one nload-row load covering rows
+                            # q..q+span-1+7 (span <= 8 with the 3-tile
+                            # load); each row delta is a static re-roll of
+                            # the same rolled block.
+                            wins = []
+                            q_al = pl.multiple_of((q // SUB) * SUB, SUB)
+                            for g in range(wspan):
+                                cg = jnp.minimum(
+                                    cix + g, n_chunks_img - 1
+                                )
+                                blk = planes[inst][
+                                    0,
+                                    pl.ds(q_al, nload),
+                                    pl.ds(
+                                        pl.multiple_of(cg * LANE, LANE),
+                                        LANE,
+                                    ),
+                                ]
+                                rolled = pltpu.roll(blk, -(q - q_al), 0)
+                                wins.append((0, g, rolled[0:SUB]))
+                                wins.extend(
+                                    (d, g,
+                                     pltpu.roll(rolled, nload - d, 0)
+                                     [0:SUB])
+                                    for d in range(1, span)
+                                )
+                        for d, g, win in wins:
+                            v = jnp.take_along_axis(win, lane_idx, axis=1)
+                            val = jax.lax.shift_right_logical(
+                                v, shifts[p]
+                            ) & 0xFFFF
+                            hit = (
+                                rem == m + d * n_chunks_img + g
+                            ) & (m < big)
+                            if g:
+                                # id m+..+g with c+g past the plane edge
+                                # aliases (row q+d+1, wrapped chunk) — a
+                                # DIFFERENT real cell; leave it unserved.
+                                hit &= cix < n_chunks_img - g
+                            accs_l[p] = jnp.where(hit, val, accs_l[p])
+                            rem = jnp.where(hit, big, rem)
                     new_rems.append(rem)
                 ms_n, g_n = probe_mins(new_rems)
                 flat_ms = sum(ms_n, [])
@@ -1757,6 +1822,9 @@ def _prep_planes(di, r, hl_pad, wl_pad):
     # (max srow = h-1+APRON_T in 2x packed units).
     w_pad = ((w + LANE - 1) // LANE) * LANE
     packed_rows = (((h + APRON_T - 1) // 2) // SUB) * SUB + 2 * SUB
+    if _RSPAN > 1 and not _PREROT:
+        # multi-row serving loads 3 sublane tiles (24 rows) per window
+        packed_rows += SUB
     ext = SUB if _PREROT else 0  # room for the shifted copies' tails
     pad_b = (packed_rows + ext) * 2 - h - APRON_T
     padded = jnp.pad(di, ((0, 0), (APRON_T, pad_b), (0, w_pad - w)))

@@ -2,6 +2,9 @@
 run compiled on TPU hardware in the bench/verify drives)."""
 
 import numpy as np
+import pytest
+
+import jax.numpy as jnp
 
 import fixtures
 import oracle
@@ -306,3 +309,68 @@ def test_pallas_batched_sweep_edge_cases(rng):
         fep.evaluate_forest_pallas(depth2, tables2, meta2, interpret=True)
     )
     np.testing.assert_array_equal(got2, want2)
+
+
+@pytest.mark.parametrize("span", [2, 4, 8])
+def test_pallas_rowspan_serving(rng, monkeypatch, span):
+    """Multi-row serving (B3D_EVAL_RSPAN=D): each batched-sweep trip serves
+    D consecutive same-chunk rows from one 24-row window load; parity must
+    hold for arbitrary divergence (cells NOT in contiguous runs are just
+    served by later trips)."""
+    import jax
+
+    monkeypatch.setattr(fep, "_RSPAN", span)
+    jax.clear_caches()  # evaluate_forest_pallas is jitted on module globals
+    depth = fixtures.random_depth_image(rng, 2, 40, 144)
+    forest = fixtures.random_forest_flat(rng, 2, 7, 5)
+    tables, meta = fep.pack_tables_pallas(forest)
+    want = oracle.eval_forest(depth, forest, 7, 5)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
+    )
+    jax.clear_caches()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_rowspan_labels_reduce(rng, monkeypatch):
+    """RSPAN under labels_reduce=2 + filter images (the flagship layered
+    operating point's per-layer configuration)."""
+    import jax
+
+    monkeypatch.setattr(fep, "_RSPAN", 3)
+    jax.clear_caches()
+    depth = fixtures.random_depth_image(rng, 1, 48, 256)
+    forest = fixtures.random_forest_flat(rng, 2, 6, 4)
+    tables, meta = fep.pack_tables_pallas(forest)
+    filt = (np.asarray(depth)[:, ::2, ::2] > 1000).astype(np.uint16)
+    want = oracle.eval_forest(
+        depth, forest, 6, 4, labels_reduce=2, filter_images=filt,
+        filter_class=1,
+    )
+    got = np.asarray(fep.evaluate_forest_pallas(
+        depth, tables, meta, labels_reduce=2,
+        filter_images=jnp.asarray(filt), filter_class=1, interpret=True,
+    ))
+    jax.clear_caches()
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("span,wspan", [(1, 2), (2, 2), (4, 2), (2, 3)])
+def test_pallas_rect_serving(rng, monkeypatch, span, wspan):
+    """Rectangle serving (B3D_EVAL_RSPAN x B3D_EVAL_WSPAN): parity incl.
+    the chunk-wrap gate (ids whose c+g passes the plane edge alias a
+    different real cell and must be left to a later trip)."""
+    import jax
+
+    monkeypatch.setattr(fep, "_RSPAN", span)
+    monkeypatch.setattr(fep, "_WSPAN", wspan)
+    jax.clear_caches()
+    depth = fixtures.random_depth_image(rng, 2, 40, 272)
+    forest = fixtures.random_forest_flat(rng, 2, 7, 5)
+    tables, meta = fep.pack_tables_pallas(forest)
+    want = oracle.eval_forest(depth, forest, 7, 5)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
+    )
+    jax.clear_caches()
+    np.testing.assert_array_equal(got, want)
