@@ -223,6 +223,13 @@ _FAST_PASSES_DEEP = int(
 _FAST_ROWS_DEEP = int(os.environ.get("B3D_EVAL_ROWS_DEEP", str(_FAST_ROWS)))
 _FAST_KC_DEEP = int(os.environ.get("B3D_EVAL_KC_DEEP", str(_FAST_KC)))
 
+# Chunks served per tree per trip of the BATCHED table sweeps (_CBATCH):
+# D > 1 serves chunks m..m+D-1 per trip — compact node renumbering and
+# DFS leaf ids put a tile's lanes in ADJACENT chunks, so each extra
+# (load + roll + K shuffles) per component/class replaces a whole trip's
+# serial min-extraction chain.  Same trade as _RSPAN for the image sweep.
+_CSPAN = int(os.environ.get("B3D_EVAL_CSPAN", "1"))
+
 # 1 = BATCHED cross-tree table sweeps: the per-level node-component sweeps
 # and the deferred leaf-pdf sweeps run as ONE dynamic-trip loop over ALL
 # trees — per iteration each tree extracts its own next needed chunk (one
@@ -1248,24 +1255,32 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
                     refs = (ux_r, uy_r, vx_r, vy_r, th_r, ch_r, lf_r)
                     for t in range(T):
                         m = ms[t]
-                        cix = jnp.clip(m, 0, n_chunks_lvl - 1)
-                        for ci, ref in enumerate(refs):
-                            blk = ref[t, cix // SUB]
-                            row = pltpu.roll(
-                                blk, (SUB - cix % SUB) % SUB, 0
-                            )[0:1]
-                            op = jnp.broadcast_to(row, (SUB, LANE))
-                            for s in range(K):
-                                val = jnp.take_along_axis(
-                                    op, lanes_ts[t][s], axis=1
-                                )
-                                pos = (t * NCOMP + ci) * K + s
-                                accs_l[pos] = jnp.where(
-                                    chunks_ts[t][s] == m, val,
-                                    accs_l[pos],
-                                )
+                        for g in range(_CSPAN):
+                            # chunks past the level edge match no lane
+                            # (ids are 1-D, no aliasing); m == sentinel
+                            # matches nothing either.
+                            cix = jnp.clip(m + g, 0, n_chunks_lvl - 1)
+                            for ci, ref in enumerate(refs):
+                                blk = ref[t, cix // SUB]
+                                row = pltpu.roll(
+                                    blk, (SUB - cix % SUB) % SUB, 0
+                                )[0:1]
+                                op = jnp.broadcast_to(row, (SUB, LANE))
+                                for s in range(K):
+                                    val = jnp.take_along_axis(
+                                        op, lanes_ts[t][s], axis=1
+                                    )
+                                    pos = (t * NCOMP + ci) * K + s
+                                    accs_l[pos] = jnp.where(
+                                        chunks_ts[t][s] == m + g, val,
+                                        accs_l[pos],
+                                    )
                         new_rems.append(
-                            jnp.where(rems_l[t] == m, bigc, rems_l[t])
+                            jnp.where(
+                                (rems_l[t] >= m)
+                                & (rems_l[t] < m + _CSPAN),
+                                bigc, rems_l[t],
+                            )
                         )
                     cms_n, cg_n = batched_mins(new_rems)
                     return (
@@ -1615,23 +1630,28 @@ def _traverse_tiles(tables, leaf_pdf_r, num_leaves, num_trees, depth_levels,
                 new_rems = []
                 for t in range(T):
                     m = ms[t]
-                    cix = jnp.clip(m, 0, n_chunks_lf - 1)
-                    for k in range(num_classes):
-                        blk = leaf_pdf_r[t, k, cix // SUB]
-                        row = pltpu.roll(
-                            blk, (SUB - cix % SUB) % SUB, 0
-                        )[0:1]
-                        op = jnp.broadcast_to(row, (SUB, LANE))
-                        for s in range(K):
-                            val = jnp.take_along_axis(
-                                op, lanes_ts[t][s], axis=1
-                            )
-                            pos = (t * num_classes + k) * K + s
-                            accs_l[pos] = jnp.where(
-                                chunks_ts[t][s] == m, val, accs_l[pos]
-                            )
+                    for g in range(_CSPAN):
+                        cix = jnp.clip(m + g, 0, n_chunks_lf - 1)
+                        for k in range(num_classes):
+                            blk = leaf_pdf_r[t, k, cix // SUB]
+                            row = pltpu.roll(
+                                blk, (SUB - cix % SUB) % SUB, 0
+                            )[0:1]
+                            op = jnp.broadcast_to(row, (SUB, LANE))
+                            for s in range(K):
+                                val = jnp.take_along_axis(
+                                    op, lanes_ts[t][s], axis=1
+                                )
+                                pos = (t * num_classes + k) * K + s
+                                accs_l[pos] = jnp.where(
+                                    chunks_ts[t][s] == m + g, val,
+                                    accs_l[pos],
+                                )
                     new_rems.append(
-                        jnp.where(rems_l[t] == m, bigp, rems_l[t])
+                        jnp.where(
+                            (rems_l[t] >= m) & (rems_l[t] < m + _CSPAN),
+                            bigp, rems_l[t],
+                        )
                     )
                 pms_n, pg_n = batched_mins(new_rems)
                 return (

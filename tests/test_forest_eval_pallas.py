@@ -374,3 +374,23 @@ def test_pallas_rect_serving(rng, monkeypatch, span, wspan):
     )
     jax.clear_caches()
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_cspan_table_sweeps(rng, monkeypatch):
+    """Adjacent-chunk table serving (B3D_EVAL_CSPAN=2): the batched
+    comps/pdf sweeps serve chunks m..m+1 per trip; needs a deep forest so
+    both node and leaf tables span multiple chunks."""
+    import jax
+
+    monkeypatch.setattr(fep, "_CSPAN", 2)
+    jax.clear_caches()
+    depth = fixtures.random_depth_image(rng, 1, 32, 144)
+    forest = fixtures.random_forest_flat(rng, 2, 9, 5, leaf_prob=0.2)
+    tables, meta = fep.pack_tables_pallas(forest)
+    assert meta[4] > 128, "fixture too shallow for a multi-chunk leaf table"
+    want = oracle.eval_forest(depth, forest, 9, 5)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=True)
+    )
+    jax.clear_caches()
+    np.testing.assert_array_equal(got, want)
