@@ -276,3 +276,104 @@ def box_main():
 
 if __name__ == "__main__" and "box" in sys.argv:
     box_main()
+
+
+def tables_main():
+    """Chunk-adjacency of the CBATCH table sweeps: per (tile, level, tree)
+    node-chunk needed sets (comps) and per (tile, tree) leaf-chunk sets
+    (deferred pdf); greedy trips at chunk span 1 vs 2 vs 3 predict the
+    _CSPAN knob's trip savings."""
+    nframes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    crops, model = sim.make_crops(nframes)
+    fine = np.asarray(model.layers[1].flat)
+    coarse = np.asarray(model.layers[0].flat)
+    yl, xl = np.mgrid[0:H // R, 0:W // R]
+    nty, ntx = (H // R) // SUB, (W // R) // LANE
+
+    def compact_ids(forest):
+        """dense g -> compact per-level id, per tree (pack_tables_pallas
+        renumbering), plus DFS leaf ids."""
+        t, total, els = forest.shape
+        d = int(np.log2(total + 1))
+        comp_of = [dict() for _ in range(t)]
+        leaf_of = [dict() for _ in range(t)]  # (level, g, side) -> leaf id
+
+        for tree in range(t):
+            ids = [[0]]
+            j = 0
+            cnt = [0]
+
+            def dfs(j, g):
+                node = forest[tree, (1 << j) - 1 + g]
+                for side, gg in ((0, 2 * g), (1, 2 * g + 1)):
+                    if np.floor(node[5 + side]) == -1:
+                        dfs(j + 1, gg)
+                    else:
+                        cnt[0] += 1
+                        leaf_of[tree][(j, g, side)] = cnt[0] - 1
+
+            # build compact numbering BFS like pack_tables
+            j = 0
+            while ids[j]:
+                nxt = []
+                for qi, g in enumerate(ids[j]):
+                    comp_of[tree][(j, g)] = qi
+                    node = forest[tree, (1 << j) - 1 + g]
+                    if np.floor(node[5]) == -1:
+                        nxt.append(2 * g)
+                    if np.floor(node[6]) == -1:
+                        nxt.append(2 * g + 1)
+                ids.append(nxt)
+                j += 1
+                if j >= d:
+                    break
+            import sys as _s
+            _s.setrecursionlimit(100000)
+            dfs(0, 0)
+        return comp_of, leaf_of
+
+    for name, forest, act_fn in (
+        ("coarse", coarse, None), ("fine", fine, None),
+    ):
+        comp_of, _ = compact_ids(forest)
+        comps_trips = {1: 0, 2: 0, 3: 0}
+        pdf_trips = {1: 0, 2: 0, 3: 0}
+        n_comp_inst = n_pdf_inst = 0
+        for ci, crop in enumerate(crops):
+            lab0, recs0, _ = sim.walk_layer(
+                crop, coarse, np.ones((H // R, W // R), bool))
+            if name == "coarse":
+                recs = recs0
+            else:
+                _, recs, _ = sim.walk_layer(crop, fine, lab0 == 1)
+            # comps: per (level, tile): per tree the compact-id chunk set
+            by_lvl = {}
+            for (tree, j, g, act, duy, dux, dvy, dvx) in recs:
+                for ty in range(nty):
+                    for tx in range(ntx):
+                        sl = (slice(ty * SUB, (ty + 1) * SUB),
+                              slice(tx * LANE, (tx + 1) * LANE))
+                        ga = g[sl][act[sl]]
+                        if not len(ga):
+                            continue
+                        cset = {
+                            comp_of[tree].get((j, gg), 0) // LANE
+                            for gg in np.unique(ga)
+                        }
+                        by_lvl.setdefault((j, ty, tx), {}).setdefault(
+                            tree, set()).update(cset)
+            for key, trees in by_lvl.items():
+                n_comp_inst += 1
+                for spn in comps_trips:
+                    comps_trips[spn] += max(
+                        greedy_trips(v, 1, spn)
+                        for v in trees.values()
+                    )
+        q = lambda d: {k: round(v / max(n_comp_inst, 1), 2)
+                       for k, v in d.items()}
+        print(f"{name}: comps instances={n_comp_inst} "
+              f"trips/inst by span: {q(comps_trips)}")
+
+
+if __name__ == "__main__" and "tables" in sys.argv:
+    tables_main()
