@@ -3,6 +3,7 @@ pixel accuracy, assemble the forest (reference src/train_model.py:33-148)."""
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -69,12 +70,21 @@ def train_forest(
     log=print,
     streaming: bool = False,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
 ) -> DecisionForest:
     """Train ``trees_to_try`` candidate trees, keep the ``trees_in_forest``
     best by held-out pct_match, return the assembled forest.
 
     ``streaming`` ships image blocks host->device per use (bounded HBM);
-    ``mesh`` distributes histograms over a (data, model) device mesh."""
+    ``mesh`` distributes histograms over a (data, model) device mesh.
+
+    ``checkpoint_dir`` makes long runs RESUMABLE at candidate-tree
+    granularity: after each tree the forest-so-far, acceptance scores, and
+    the rng state are written to ``forest_ckpt.npz`` there, and a rerun
+    with the same config picks up after the last completed tree with the
+    rng stream intact (bit-identical to an uninterrupted run).  Built for
+    this rig's wedging axon RPCs — a watchdog can kill and relaunch
+    without losing completed trees (see scripts/train_supervised.sh)."""
     rng = rng or np.random.default_rng()
     trees_to_try = trees_to_try or trees_in_forest
     images_per_block = images_per_block or train_data.num_images
@@ -93,7 +103,30 @@ def train_forest(
     best: list = [None] * trees_in_forest
     forest = DecisionForest(trees_in_forest, max_tree_depth, c)
 
-    for i in range(trees_to_try):
+    start = 0
+    ckpt = (
+        os.path.join(checkpoint_dir, "forest_ckpt.npz")
+        if checkpoint_dir else None
+    )
+    if ckpt and os.path.exists(ckpt):
+        z = np.load(ckpt, allow_pickle=True)
+        if (
+            int(z["depth"]) == max_tree_depth
+            and int(z["ntry"]) == trees_to_try
+            and z["forest"].shape == forest.data.shape
+        ):
+            start = int(z["done"])
+            forest.data[:] = z["forest"]
+            best = [
+                None if not np.isfinite(b) else float(b) for b in z["best"]
+            ]
+            rng.bit_generator.state = z["rng_state"].item()
+            log(f"[ckpt] resuming after candidate tree {start}"
+                f"/{trees_to_try}")
+        else:
+            log("[ckpt] config mismatch; starting fresh")
+
+    for i in range(start, trees_to_try):
         log(f"training candidate tree {i + 1}/{trees_to_try}")
         trainer.train(train_data, tree, rng)
         acc = evaluate_tree_accuracy(tree.data, test_depth, test_labels)
@@ -110,6 +143,18 @@ def train_forest(
             log(f"  accepted tree at slot {copy_idx}")
             best[copy_idx] = acc
             forest.data[copy_idx] = tree.data.copy()
+        if ckpt:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            np.savez(
+                ckpt, done=i + 1, depth=max_tree_depth,
+                ntry=trees_to_try, forest=forest.data,
+                best=np.array(
+                    [np.nan if b is None else b for b in best], np.float64
+                ),
+                rng_state=np.array(rng.bit_generator.state, dtype=object),
+            )
+    if ckpt and os.path.exists(ckpt):
+        os.remove(ckpt)  # a finished run must not seed the next fresh one
 
     acc = evaluate_tree_accuracy(forest.data, test_depth, test_labels)
     log(f"FOREST pct. matching pixels: {acc:.4f}")

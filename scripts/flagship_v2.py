@@ -188,6 +188,11 @@ def main():
         trees_in_forest=TREES, trees_to_try=TREES,
         rng=np.random.default_rng(13),
         streaming=bool(os.environ.get("B3D_V2_STREAM_FINE")),
+        # resumable at tree granularity: this rig's axon RPCs can wedge
+        # mid-level (zero IO, threads in futex wait); the watchdog
+        # relaunch then resumes after the last completed candidate tree
+        # with the rng stream intact (scripts/train_supervised.sh)
+        checkpoint_dir=os.path.join(DS, "ckpt_fine"),
     )
     t_fine = time.time() - t0
     print(f"[fine] D={FINE_DEPTH} T={TREES} pct_match={fine.pct_match:.4f} "

@@ -1,6 +1,9 @@
 """Trainer parity vs the scalar oracle trainer, plus end-to-end learning."""
 
+import os
+
 import numpy as np
+import pytest
 
 import fixtures
 import oracle
@@ -194,3 +197,51 @@ def test_histogram_from_bits_matches_direct(rng):
     )
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_train_forest_checkpoint_resume(rng, tmp_path):
+    """Per-candidate-tree checkpointing: a run killed after tree 1 and
+    relaunched produces a forest BIT-IDENTICAL to an uninterrupted run
+    (the rng stream rides the checkpoint)."""
+    from beats3d_tpu.data.dataset import ArrayDataset
+    from beats3d_tpu.train import driver as drv
+
+    depth, labels = fixtures.synthetic_hand_dataset(rng, n=6, h=24, w=40)
+    tr = ArrayDataset(depth[:4], labels[:4], 4, images_per_block=4)
+    te = ArrayDataset(depth[4:], labels[4:], 4, images_per_block=2)
+    cfg = dict(
+        num_random_features=8, proposals_per_block=8, max_tree_depth=4,
+        trees_in_forest=2, trees_to_try=2, log=lambda *a: None,
+    )
+    want = drv.train_forest(
+        tr, te, rng=np.random.default_rng(42), **cfg
+    )
+
+    ck = str(tmp_path / "ck")
+    calls = {"n": 0}
+    orig_eval = drv.evaluate_tree_accuracy
+
+    def dying_eval(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # wedge during candidate tree 2
+            raise RuntimeError("simulated wedged RPC")
+        return orig_eval(*a, **kw)
+
+    drv.evaluate_tree_accuracy = dying_eval
+    try:
+        with pytest.raises(RuntimeError):
+            drv.train_forest(
+                tr, te, rng=np.random.default_rng(42),
+                checkpoint_dir=ck, **cfg,
+            )
+    finally:
+        drv.evaluate_tree_accuracy = orig_eval
+    assert os.path.exists(os.path.join(ck, "forest_ckpt.npz"))
+
+    got = drv.train_forest(
+        tr, te, rng=np.random.default_rng(42), checkpoint_dir=ck, **cfg
+    )
+    np.testing.assert_array_equal(got.data, want.data)
+    assert got.pct_match == want.pct_match
+    # a finished run clears its checkpoint
+    assert not os.path.exists(os.path.join(ck, "forest_ckpt.npz"))
