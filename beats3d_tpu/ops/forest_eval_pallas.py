@@ -768,7 +768,10 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                 rect = _PREROT or nE != 1
                 span = _RSPAN if (_RSPAN > 1 and not rect) else 1
                 wspan = _WSPAN if (_WSPAN > 1 and not rect) else 1
-                nload = (3 if span > 1 else 2) * SUB
+                # power-of-2 sublane counts only: cyclic rolls over a
+                # non-power-of-2 (e.g. 24-row) block need modulo-N vreg
+                # rotation Mosaic does not lower exactly
+                nload = (4 if span > 1 else 2) * SUB
                 for p, (srow, chunk, lane_idx, oob, serve, inst) in (
                         enumerate(preps)):
                     rem = rems_l[p]
@@ -786,9 +789,10 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                             wins = [(0, 0, window(planes[inst], q, cix))]
                         else:
                             # per chunk one nload-row load covering rows
-                            # q..q+span-1+7 (span <= 8 with the 3-tile
-                            # load); each row delta is a static re-roll of
-                            # the same rolled block.
+                            # q..q+span-1+7 (span <= 8: row delta + 7 +
+                            # the alignment residue <= 22 < nload); each
+                            # row delta is a static re-roll of the same
+                            # rolled block.
                             wins = []
                             q_al = pl.multiple_of((q // SUB) * SUB, SUB)
                             for g in range(wspan):
@@ -1843,8 +1847,11 @@ def _prep_planes(di, r, hl_pad, wl_pad):
     w_pad = ((w + LANE - 1) // LANE) * LANE
     packed_rows = (((h + APRON_T - 1) // 2) // SUB) * SUB + 2 * SUB
     if _RSPAN > 1 and not _PREROT:
-        # multi-row serving loads 3 sublane tiles (24 rows) per window
-        packed_rows += SUB
+        # multi-row serving loads 4 sublane tiles (32 rows) per window —
+        # a POWER-OF-2 sublane count, so the cyclic rolls the serve chain
+        # applies lower exactly (a 24-row load would need modulo-24
+        # rotation across 3 vregs)
+        packed_rows += 2 * SUB
     ext = SUB if _PREROT else 0  # room for the shifted copies' tails
     pad_b = (packed_rows + ext) * 2 - h - APRON_T
     padded = jnp.pad(di, ((0, 0), (APRON_T, pad_b), (0, w_pad - w)))
