@@ -161,12 +161,12 @@ _RSPAN = int(os.environ.get("B3D_EVAL_RSPAN", "1"))
 # cell and must stay unserved).
 _WSPAN = int(os.environ.get("B3D_EVAL_WSPAN", "1"))
 
-# 1 = PRE-ROTATED plane copies: the packed depth plane ships as 8 copies,
-# copy k shifted up k packed rows, so every window serve is ONE aligned
-# (8, 128) load from copy[p % 8] instead of an aligned 16-row load + roll.
-# Trades 8x plane VMEM (~4 MB per crop slot) + a cheap XLA preamble for
-# removing the roll + half the load bytes from every serve slot.
-_PREROT = os.environ.get("B3D_EVAL_PREROT", "0") == "1"
+# (PRE-ROTATED plane copies — 8 shifted copies so every window serve is a
+# direct aligned (8, 128) load with no roll — were tried and REMOVED in
+# round 5: warm-cache A/B measured 74.51 default vs 74.45 ms PREROT on 32
+# flagship crops, i.e. a wash at 8x the plane VMEM.  The dynamic roll the
+# copies eliminate is not on the serve slot's critical path; the
+# scratch->scalar->dependent-load chain is.  See ROADMAP round-5 log.)
 _ANCHOR_MAX = int(os.environ.get("B3D_EVAL_ANCHOR_MAX", "6"))
 
 # 1 = ONE window base per (u, v) probe PAIR of the same walk: the pair's
@@ -475,18 +475,9 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
         def window(plane_ref, p, cix):
             """(SUB, LANE) rows [p, p+8) of a plane: Mosaic requires
             8-aligned sublane starts, so load an aligned 16-row block and
-            roll the residue away — or, with _PREROT, load directly from
-            the pre-rotated copy whose shift matches p % 8 (one aligned
-            (8, 128) load, no roll; see _prep_planes)."""
+            roll the residue away."""
             p_al = pl.multiple_of((p // SUB) * SUB, SUB)
             off = p - p_al
-            if _PREROT:
-                return plane_ref[
-                    0,
-                    off,
-                    pl.ds(p_al, SUB),
-                    pl.ds(pl.multiple_of(cix * LANE, LANE), LANE),
-                ]
             blk = plane_ref[
                 0,
                 pl.ds(p_al, 2 * SUB),
@@ -765,9 +756,8 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                 # Cell RECTANGLE served per trip from wspan window loads
                 # (see _RSPAN/_WSPAN): rows q..q+span-1 of chunks
                 # c..c+wspan-1; runs drain in ceil(run/rect) trips.
-                rect = _PREROT or nE != 1
-                span = _RSPAN if (_RSPAN > 1 and not rect) else 1
-                wspan = _WSPAN if (_WSPAN > 1 and not rect) else 1
+                span = _RSPAN if (_RSPAN > 1 and nE == 1) else 1
+                wspan = _WSPAN if (_WSPAN > 1 and nE == 1) else 1
                 # power-of-2 sublane counts only: cyclic rolls over a
                 # non-power-of-2 (e.g. 24-row) block need modulo-N vreg
                 # rotation Mosaic does not lower exactly
@@ -879,9 +869,7 @@ def _tile_context(planes, r, h, w, tytx, scratch_ref=None):
                 col = pl.ds(pl.multiple_of(cix * LANE, LANE), LANE)
                 rowsl = pl.ds(pl.multiple_of(q, SUB), 2 * SUB)
                 p16s = {
-                    s: (planes[s][0, 0, rowsl, col] if _PREROT
-                        else planes[s][0, rowsl, col])
-                    for s in insts_used
+                    s: planes[s][0, rowsl, col] for s in insts_used
                 }
                 accs = list(accs)
                 inchunk = [p[1] == cix for p in preps]
@@ -1846,23 +1834,15 @@ def _prep_planes(di, r, hl_pad, wl_pad):
     # (max srow = h-1+APRON_T in 2x packed units).
     w_pad = ((w + LANE - 1) // LANE) * LANE
     packed_rows = (((h + APRON_T - 1) // 2) // SUB) * SUB + 2 * SUB
-    if _RSPAN > 1 and not _PREROT:
+    if _RSPAN > 1:
         # multi-row serving loads 4 sublane tiles (32 rows) per window —
         # a POWER-OF-2 sublane count, so the cyclic rolls the serve chain
         # applies lower exactly (a 24-row load would need modulo-24
         # rotation across 3 vregs)
         packed_rows += 2 * SUB
-    ext = SUB if _PREROT else 0  # room for the shifted copies' tails
-    pad_b = (packed_rows + ext) * 2 - h - APRON_T
+    pad_b = packed_rows * 2 - h - APRON_T
     padded = jnp.pad(di, ((0, 0), (APRON_T, pad_b), (0, w_pad - w)))
     depth_packed = padded[:, 0::2, :] | (padded[:, 1::2, :] << 16)
-    if _PREROT:
-        # (N, 8, rows, w): copy k = rows shifted up by k, so window(p, c)
-        # is a direct aligned load from [k = p % 8, (p // 8) * 8]
-        depth_packed = jnp.stack(
-            [depth_packed[:, k : k + packed_rows] for k in range(SUB)],
-            axis=1,
-        )
     d_center = di[:, ::r, ::r]
     if hl_pad != hl or wl_pad != wl:
         d_center = jnp.pad(
@@ -1939,8 +1919,7 @@ def _run_pallas(
     grid = (n, hl_pad // SUB, wl_pad // LANE)
     plane_spec = pl.BlockSpec(
         (1,) + depth_packed.shape[1:],
-        (lambda nn, ty, tx: (nn, 0, 0, 0)) if _PREROT
-        else (lambda nn, ty, tx: (nn, 0, 0)),
+        lambda nn, ty, tx: (nn, 0, 0),
         memory_space=pltpu.VMEM,
     )
     tile_spec = pl.BlockSpec(
@@ -2198,8 +2177,7 @@ def _run_layered_pallas(
 
     def plane_map_s(s):
         def m(i, idx):
-            base = (idx[K * i + s] // (nty * ntx), 0, 0)
-            return base + (0,) if _PREROT else base
+            return (idx[K * i + s] // (nty * ntx), 0, 0)
         return m
 
     def tile_map_s(s):
