@@ -174,3 +174,29 @@ def test_compiled_train_feature_bits_parity(rng):
         (f < props[:, 4][:, None]).reshape(p, n, h, w).transpose(1, 0, 2, 3)
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.onchip
+@pytest.mark.parametrize("knobs", [
+    {"_RSPAN": 2}, {"_RSPAN": 4}, {"_RSPAN": 2, "_WSPAN": 2},
+    {"_CSPAN": 2},
+])
+def test_compiled_span_knobs_parity(rng, monkeypatch, knobs):
+    """Rectangle/chunk-span serving through REAL Mosaic compilation: the
+    round-5 RSPAN first cut was exact in interpret mode yet wrong on chip
+    (24-row cyclic roll lowering), so these knobs get a compiled lane."""
+    import jax
+
+    _assert_tpu()
+    for k, v in knobs.items():
+        monkeypatch.setattr(fep, k, v)
+    jax.clear_caches()
+    depth = fixtures.random_depth_image(rng, 2, 56, 272)
+    forest = fixtures.random_forest_flat(rng, 2, 8, 5, leaf_prob=0.25)
+    tables, meta = fep.pack_tables_pallas(forest)
+    want = oracle.eval_forest(depth, forest, 8, 5)
+    got = np.asarray(
+        fep.evaluate_forest_pallas(depth, tables, meta, interpret=False)
+    )
+    jax.clear_caches()
+    np.testing.assert_array_equal(got, want)
