@@ -148,8 +148,10 @@ _MULTI = int(os.environ.get("B3D_EVAL_MULTI", "1"))
 # window load: D-1 extra static rolls + shuffles (~20 ns each, pipelinable
 # vector work) replace whole loop trips, each of which costs a serial
 # min-extraction -> scratch round-trip -> dependent-load chain (~300 ns).
-# The plane gets one extra 8-row pad tile so 24-row loads stay in bounds.
-_RSPAN = int(os.environ.get("B3D_EVAL_RSPAN", "1"))
+# The plane gets two extra 8-row pad tiles so the 32-row loads stay in
+# bounds.  DEFAULT 2 (round-5 A/B, 32 flagship crops, label sums exact):
+# baseline 75.05 -> RSPAN=2 67.22 ms; with CSPAN=2 64.45 (-14.1%).
+_RSPAN = int(os.environ.get("B3D_EVAL_RSPAN", "2"))
 
 # CHUNKS served per probe per sweep trip: the {q..q+RSPAN-1} x
 # {c..c+WSPAN-1} cell RECTANGLE anchored at the min cell.  A label tile
@@ -228,7 +230,9 @@ _FAST_KC_DEEP = int(os.environ.get("B3D_EVAL_KC_DEEP", str(_FAST_KC)))
 # DFS leaf ids put a tile's lanes in ADJACENT chunks, so each extra
 # (load + roll + K shuffles) per component/class replaces a whole trip's
 # serial min-extraction chain.  Same trade as _RSPAN for the image sweep.
-_CSPAN = int(os.environ.get("B3D_EVAL_CSPAN", "1"))
+# DEFAULT 2 (round-5 A/B: 75.05 -> 72.00 ms alone, 64.45 with RSPAN=2;
+# sim: fine-layer comps trips 3.43 -> 2.46).
+_CSPAN = int(os.environ.get("B3D_EVAL_CSPAN", "2"))
 
 # 1 = BATCHED cross-tree table sweeps: the per-level node-component sweeps
 # and the deferred leaf-pdf sweeps run as ONE dynamic-trip loop over ALL
