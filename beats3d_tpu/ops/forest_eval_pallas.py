@@ -149,9 +149,12 @@ _MULTI = int(os.environ.get("B3D_EVAL_MULTI", "1"))
 # vector work) replace whole loop trips, each of which costs a serial
 # min-extraction -> scratch round-trip -> dependent-load chain (~300 ns).
 # The plane gets two extra 8-row pad tiles so the 32-row loads stay in
-# bounds.  DEFAULT 2 (round-5 A/B, 32 flagship crops, label sums exact):
-# baseline 75.05 -> RSPAN=2 67.22 ms; with CSPAN=2 64.45 (-14.1%).
-_RSPAN = int(os.environ.get("B3D_EVAL_RSPAN", "2"))
+# bounds.  DEFAULT 3 (round-5 A/Bs, 32 flagship crops, label sums exact):
+# baseline 75.05 -> RSPAN=2 67.22 ms; with CSPAN=2 64.45 (-14.1%); RSPAN=3
+# 60.86 (-19%).  The knee is sharp: RSPAN=4 64.01 / RSPAN=4+CSPAN=3 66.01 —
+# past ~3 rows the marginal serves stop hiding under the per-trip serial
+# chain and the extra vector work goes critical-path.
+_RSPAN = int(os.environ.get("B3D_EVAL_RSPAN", "3"))
 
 # CHUNKS served per probe per sweep trip: the {q..q+RSPAN-1} x
 # {c..c+WSPAN-1} cell RECTANGLE anchored at the min cell.  A label tile

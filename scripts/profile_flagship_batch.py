@@ -22,12 +22,19 @@ B = 16
 
 
 def load_flagship(tmp="/tmp/flagship_model"):
+    # B3D_FLAGSHIP_DIR: alternate model dir (e.g. the depth-truncated
+    # variants scripts/truncate_fine.py writes) for fps A/Bs.
+    src_dir = os.environ.get("B3D_FLAGSHIP_DIR", OUT)
     os.makedirs(tmp, exist_ok=True)
     for f in ("m0.npy", "model_cfg.json"):
-        shutil.copy(os.path.join(OUT, f), os.path.join(tmp, f))
-    with gzip.open(os.path.join(OUT, "m1.npy.gz"), "rb") as src, \
-            open(os.path.join(tmp, "m1.npy"), "wb") as dst:
-        shutil.copyfileobj(src, dst)
+        shutil.copy(os.path.join(src_dir, f), os.path.join(tmp, f))
+    if os.path.exists(os.path.join(src_dir, "m1.npy")):
+        shutil.copy(os.path.join(src_dir, "m1.npy"),
+                    os.path.join(tmp, "m1.npy"))
+    else:
+        with gzip.open(os.path.join(src_dir, "m1.npy.gz"), "rb") as src, \
+                open(os.path.join(tmp, "m1.npy"), "wb") as dst:
+            shutil.copyfileobj(src, dst)
     return LayeredDecisionForest.load(
         os.path.join(tmp, "model_cfg.json"), labels_reduce=2)
 
