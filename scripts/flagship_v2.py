@@ -62,6 +62,7 @@ def scene_v2(intrin, rng):
         intrin, rng, two_hands=False,
         detail=float(os.environ.get("B3D_V2_DETAIL", "0")),
         noise_scale=float(os.environ.get("B3D_V2_NOISE", "0")),
+        rigged=bool(int(os.environ.get("B3D_V2_RIGGED", "0"))),
     )
 
 

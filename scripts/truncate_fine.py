@@ -46,7 +46,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FLAGSHIP = os.environ.get("B3D_V2_OUT", "models/flagship")
 DS = os.environ.get("B3D_V2_DS", "/tmp/flagship_v2_ds")
-CUTOFF = 0.999  # trainer.py CUTOFF_THRESH
+
+from beats3d_tpu.train.trainer import CUTOFF_THRESH as CUTOFF  # noqa: E402
 
 
 def load_fine_flat():
