@@ -297,8 +297,13 @@ def main():
             comp_stats,
             coarse_layer="true per-use streaming (compressed blocks + "
                          "CompressedBlocksDynamic node state)",
-            fine_layer="resident-from-compressed (axon client retains "
-                       "upload staging ~1.3 GB/level; see ROADMAP)",
+            fine_layer=(
+                "true per-use streaming (device-side RLE codec, "
+                "B3D_V2_STREAM_FINE=1)"
+                if os.environ.get("B3D_V2_STREAM_FINE")
+                else "resident-from-compressed (axon client retains "
+                     "upload staging ~1.3 GB/level; see ROADMAP)"
+            ),
         ),
         "max_rss_gb": round(rss_gb(), 2),
     }
