@@ -66,8 +66,7 @@ def walk_ids(depth, tables, dt):
     """
     import jax
     import jax.numpy as jnp
-    from beats3d_tpu.ops.forest_eval import (
-        MAX_UINT16, depth_difference_feature)
+    from beats3d_tpu.ops.forest_eval import depth_difference_feature
 
     n, h, w = depth.shape
     num_trees = tables[0][0].shape[0]
@@ -76,7 +75,6 @@ def walk_ids(depth, tables, dt):
     yd = yl[None, :, :, None]
     xd = xl[None, :, :, None]
     d_center = depth
-    eligible = (d_center != 0) & (d_center != MAX_UINT16)
     d_center_t = d_center[..., None]
 
     lane_shape = (n, h, w, num_trees)
@@ -111,13 +109,18 @@ def walk_ids(depth, tables, dt):
         g = jnp.where((~done) & descend, 2 * g + side, g)
         done = done | (~done) & (~descend)
 
-    return new_leaf, active & eligible[..., None], term_leaf, \
-        term_here & eligible[..., None]
+    # NOTE: the returned masks carry NO pixel-eligibility filter — the
+    # caller must apply the trainer's (labels > 0, trainer.py:479-480).
+    return new_leaf, active, term_leaf, term_here
 
 
 def refit_counts(flat, dt, train_depth, train_labels, chunk=2):
     """Histogram training labels into the depth-dt new leaves (and, for
-    validation, into the original level-(dt-1) terminal leaves)."""
+    validation, into the original level-(dt-1) terminal leaves).
+
+    Histograms accumulate ON DEVICE (segment_sum per tree) so only the
+    (T, 2**dt, C) count arrays cross the tunnel per chunk — the per-lane
+    id/mask arrays (~40 MB/chunk) never leave the chip."""
     import jax
     import jax.numpy as jnp
     from beats3d_tpu.models.forest import PackedForest
@@ -127,37 +130,56 @@ def refit_counts(flat, dt, train_depth, train_labels, chunk=2):
     packed = PackedForest.from_flat(flat)
     tables = packed.tables()[:dt]
     nleaf = 1 << dt
+
+    @jax.jit
+    def step(d, lab):
+        ids, act, tids, there = walk_ids(d, tables, dt)
+        lab4 = jnp.broadcast_to(lab[..., None], ids.shape)
+        # the trainer trains on LABELED pixels only (nodes[lab > 0] = 0,
+        # trainer.py:479-480) — the refit must histogram the same set
+        labeled = lab4 > 0
+
+        def hist(idz, msk):
+            key = idz * c + lab4
+            w = (msk & labeled).astype(jnp.float32)
+            return jnp.stack([
+                jax.ops.segment_sum(
+                    w[..., tt].ravel(), key[..., tt].ravel(),
+                    num_segments=nleaf * c)
+                for tt in range(t)
+            ])
+        return hist(ids, act), hist(tids, there)
+
     counts = np.zeros((t, nleaf, c), np.int64)
     vcounts = np.zeros((t, nleaf, c), np.int64)
-
-    jit_walk = jax.jit(
-        lambda d: walk_ids(d, tables, dt), backend=None)
     for lo in range(0, train_depth.shape[0], chunk):
         d = jnp.asarray(train_depth[lo : lo + chunk])
-        ids, act, tids, there = [np.asarray(x) for x in jit_walk(d)]
-        lab = train_labels[lo : lo + chunk]
-        lab4 = np.broadcast_to(lab[..., None], ids.shape)
-        for tt in range(t):
-            for cnt, idz, msk in (
-                    (counts, ids, act), (vcounts, tids, there)):
-                m = msk[..., tt]
-                if not m.any():
-                    continue
-                key = idz[..., tt][m].astype(np.int64) * c + lab4[..., tt][m]
-                cnt[tt] += np.bincount(
-                    key, minlength=nleaf * c).reshape(nleaf, c)
+        lab = jnp.asarray(
+            train_labels[lo : lo + chunk].astype(np.int32))
+        a, b = step(d, lab)
+        counts += np.asarray(a).astype(np.int64).reshape(t, nleaf, c)
+        vcounts += np.asarray(b).astype(np.int64).reshape(t, nleaf, c)
     return counts, vcounts
 
 
 def pdf_check(flat, dt, vcounts):
-    """Max |stored pdf - refit histogram| over original terminal leaves at
-    level dt-1 (excluding double leaves and cutoff one-hots)."""
+    """Validate the refit walk against the REAL trainer's output: compare
+    the refit histograms to the stored pdfs of the original terminal
+    leaves at level dt-1.  Mixed (frac) leaves must match to float32
+    rounding; cutoff one-hot leaves must match to (1 - CUTOFF) (the
+    trainer rounded a >=99.9% histogram up to 1.0).  Double leaves are
+    excluded — their stored pdf is the PARENT histogram by design
+    (trainer.py no-gain branch).
+
+    Returns (worst_mixed_dev, worst_cutoff_dev, n_checked, n_mixed)."""
     t, _, els = flat.shape
     c = (els - 7) // 2
     base = (1 << (dt - 1)) - 1
     lvl = flat[:, base : base + (1 << (dt - 1))]
-    worst = 0.0
+    worst_mixed = 0.0
+    worst_cut = 0.0
     n_checked = 0
+    n_mixed = 0
     for tt in range(t):
         lr = np.floor(lvl[tt, :, 5:7]).astype(np.int32)
         lpdf = lvl[tt, :, 7 : 7 + c]
@@ -165,17 +187,20 @@ def pdf_check(flat, dt, vcounts):
         dbl = (lr[:, 0] != -1) & (lr[:, 1] != -1) & (
             np.abs(lpdf - rpdf).max(axis=1) == 0.0)
         for side, pdf in ((0, lpdf), (1, rpdf)):
-            term = (lr[:, side] != -1) & ~dbl & (pdf.max(axis=1) < 1.0)
-            gs = np.nonzero(term)[0]
-            for gg in gs:
+            term = (lr[:, side] != -1) & ~dbl
+            for gg in np.nonzero(term)[0]:
                 cnt = vcounts[tt, 2 * gg + side]
                 s = cnt.sum()
                 if s == 0:
                     continue
-                dev = np.abs(cnt / s - pdf[gg]).max()
-                worst = max(worst, float(dev))
+                dev = float(np.abs(cnt / s - pdf[gg]).max())
                 n_checked += 1
-    return worst, n_checked
+                if pdf[gg].max() >= 1.0:
+                    worst_cut = max(worst_cut, dev)
+                else:
+                    worst_mixed = max(worst_mixed, dev)
+                    n_mixed += 1
+    return worst_mixed, worst_cut, n_checked, n_mixed
 
 
 def truncate(flat, dt, counts):
@@ -258,7 +283,7 @@ def main():
     for dt in dts:
         t0 = time.time()
         counts, vcounts = refit_counts(flat, dt, train_depth, train_labels)
-        worst, n_checked = pdf_check(flat, dt, vcounts)
+        w_mixed, w_cut, n_checked, n_mixed = pdf_check(flat, dt, vcounts)
         trunc, empty = truncate(flat, dt, counts)
         mdir = f"/tmp/trunc_fine_D{dt}"
         os.makedirs(mdir, exist_ok=True)
@@ -271,7 +296,8 @@ def main():
         row = {
             "depth": dt, "acc": round(acc, 4),
             "acc_delta": round(acc - base_acc, 4),
-            "refit_pdf_max_dev": worst, "refit_leaves_checked": n_checked,
+            "refit_dev_mixed": w_mixed, "refit_dev_cutoff": w_cut,
+            "refit_leaves_checked": n_checked, "refit_leaves_mixed": n_mixed,
             "empty_leaves": empty, "model_dir": mdir,
             "refit_s": round(time.time() - t0, 1),
         }
