@@ -699,17 +699,20 @@ class DecisionTreeTrainer:
                 import gc
 
                 gc.collect()
-                if level % 4 == 0:
-                    rss = 0
-                    try:
-                        with open("/proc/self/status") as f:
-                            for ln in f:
-                                if ln.startswith("VmRSS"):
-                                    rss = int(ln.split()[1])
-                    except OSError:
-                        pass
-                    print(f"    [stream] level {level} done, "
-                          f"rss={rss / 1e6:.1f}G", flush=True)
+                # log EVERY level: deep streamed levels can run past the
+                # supervisor's log-staleness window, and a silent healthy
+                # level is indistinguishable from a wedged RPC
+                # (scripts/train_supervised.sh would kill a live run)
+                rss = 0
+                try:
+                    with open("/proc/self/status") as f:
+                        for ln in f:
+                            if ln.startswith("VmRSS"):
+                                rss = int(ln.split()[1])
+                except OSError:
+                    pass
+                print(f"    [stream] level {level} done, "
+                      f"rss={rss / 1e6:.1f}G", flush=True)
             active = np.array(sorted(next_active), dtype=np.int32)
 
         return tree
