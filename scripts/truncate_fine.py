@@ -171,15 +171,17 @@ def pdf_check(flat, dt, vcounts):
     excluded — their stored pdf is the PARENT histogram by design
     (trainer.py no-gain branch).
 
-    Returns (worst_mixed_dev, worst_cutoff_dev, n_checked, n_mixed)."""
+    Returns a dict: worst mixed/cutoff deviation, leaves checked/mixed,
+    plus the count of leaves deviating > 0.01 and the total pixel mass in
+    them (distinguishes rare boundary-flip strays — a handful of pixels
+    landing one node over when refit and training run on different
+    platforms' float rounding — from systematic walk divergence)."""
     t, _, els = flat.shape
     c = (els - 7) // 2
     base = (1 << (dt - 1)) - 1
     lvl = flat[:, base : base + (1 << (dt - 1))]
-    worst_mixed = 0.0
-    worst_cut = 0.0
-    n_checked = 0
-    n_mixed = 0
+    out = {"dev_mixed": 0.0, "dev_cutoff": 0.0, "checked": 0, "mixed": 0,
+           "bad_leaves": 0, "bad_pixels": 0, "pixels": 0}
     for tt in range(t):
         lr = np.floor(lvl[tt, :, 5:7]).astype(np.int32)
         lpdf = lvl[tt, :, 7 : 7 + c]
@@ -194,13 +196,17 @@ def pdf_check(flat, dt, vcounts):
                 if s == 0:
                     continue
                 dev = float(np.abs(cnt / s - pdf[gg]).max())
-                n_checked += 1
+                out["checked"] += 1
+                out["pixels"] += int(s)
+                if dev > 0.01:
+                    out["bad_leaves"] += 1
+                    out["bad_pixels"] += int(s)
                 if pdf[gg].max() >= 1.0:
-                    worst_cut = max(worst_cut, dev)
+                    out["dev_cutoff"] = max(out["dev_cutoff"], dev)
                 else:
-                    worst_mixed = max(worst_mixed, dev)
-                    n_mixed += 1
-    return worst_mixed, worst_cut, n_checked, n_mixed
+                    out["dev_mixed"] = max(out["dev_mixed"], dev)
+                    out["mixed"] += 1
+    return out
 
 
 def truncate(flat, dt, counts):
@@ -257,54 +263,81 @@ def heldout_acc(model_dir, test_depth, test_labels):
 
 
 def main():
+    # phases so the CPU-heavy refit can overlap a chip-holding run:
+    #   --refit-only : walk + histogram + write truncated model dirs
+    #                  (B3D_TRUNC_CPU=1 forces the CPU backend)
+    #   --acc-only   : held-out accuracy for already-written model dirs
+    # default: both.
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    refit_only = "--refit-only" in sys.argv
+    acc_only = "--acc-only" in sys.argv
+    if os.environ.get("B3D_TRUNC_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from beats3d_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     from beats3d_tpu.data import DatasetConfig
 
-    dts = [int(a) for a in sys.argv[1:]] or [15, 14, 13, 12]
+    dts = [int(a) for a in args] or [15, 14, 13, 12]
     train_data, test_data = DatasetConfig.multiple(DS, [
         (120, 4, "train"), (16, None, "test")])
-    train_depth = np.concatenate([
-        train_data.get_depth_block(i)
-        for i in range(train_data.num_image_blocks)])
-    train_labels = np.concatenate([
-        train_data.get_labels_block(i)
-        for i in range(train_data.num_image_blocks)]).astype(np.int64)
     test_depth = test_data.get_depth_block(0)
     test_labels = test_data.get_labels_block(0)
 
     flat = load_fine_flat()
-    results = {"baseline_depth": int(np.log2(flat.shape[1] + 1)),
-               "sweep": []}
-    base_acc = heldout_acc(_stage_base(), test_depth, test_labels)
-    results["baseline_acc"] = round(base_acc, 4)
-    print(f"[trunc] baseline D=16 held-out acc {base_acc:.4f}", flush=True)
-
-    for dt in dts:
-        t0 = time.time()
-        counts, vcounts = refit_counts(flat, dt, train_depth, train_labels)
-        w_mixed, w_cut, n_checked, n_mixed = pdf_check(flat, dt, vcounts)
-        trunc, empty = truncate(flat, dt, counts)
-        mdir = f"/tmp/trunc_fine_D{dt}"
-        os.makedirs(mdir, exist_ok=True)
-        shutil.copy(os.path.join(FLAGSHIP, "m0.npy"),
-                    os.path.join(mdir, "m0.npy"))
-        shutil.copy(os.path.join(FLAGSHIP, "model_cfg.json"),
-                    os.path.join(mdir, "model_cfg.json"))
-        np.save(os.path.join(mdir, "m1.npy"), trunc)
-        acc = heldout_acc(mdir, test_depth, test_labels)
-        row = {
-            "depth": dt, "acc": round(acc, 4),
-            "acc_delta": round(acc - base_acc, 4),
-            "refit_dev_mixed": w_mixed, "refit_dev_cutoff": w_cut,
-            "refit_leaves_checked": n_checked, "refit_leaves_mixed": n_mixed,
-            "empty_leaves": empty, "model_dir": mdir,
-            "refit_s": round(time.time() - t0, 1),
-        }
-        results["sweep"].append(row)
-        print(f"[trunc] {row}", flush=True)
-
     out = os.path.join(FLAGSHIP, "TRUNC_SWEEP.json")
+    if acc_only and os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f)
+    else:
+        results = {"baseline_depth": int(np.log2(flat.shape[1] + 1)),
+                   "sweep": []}
+
+    if not acc_only:
+        train_depth = np.concatenate([
+            train_data.get_depth_block(i)
+            for i in range(train_data.num_image_blocks)])
+        train_labels = np.concatenate([
+            train_data.get_labels_block(i)
+            for i in range(train_data.num_image_blocks)]).astype(np.int64)
+        for dt in dts:
+            t0 = time.time()
+            counts, vcounts = refit_counts(
+                flat, dt, train_depth, train_labels)
+            chk = pdf_check(flat, dt, vcounts)
+            trunc, empty = truncate(flat, dt, counts)
+            mdir = f"/tmp/trunc_fine_D{dt}"
+            os.makedirs(mdir, exist_ok=True)
+            shutil.copy(os.path.join(FLAGSHIP, "m0.npy"),
+                        os.path.join(mdir, "m0.npy"))
+            shutil.copy(os.path.join(FLAGSHIP, "model_cfg.json"),
+                        os.path.join(mdir, "model_cfg.json"))
+            np.save(os.path.join(mdir, "m1.npy"), trunc)
+            row = {
+                "depth": dt,
+                "refit_check": chk,
+                "empty_leaves": empty, "model_dir": mdir,
+                "refit_s": round(time.time() - t0, 1),
+                "refit_platform": (
+                    "cpu" if os.environ.get("B3D_TRUNC_CPU") else "tpu"),
+            }
+            results["sweep"].append(row)
+            print(f"[trunc] {row}", flush=True)
+
+    if not refit_only:
+        base_acc = heldout_acc(_stage_base(), test_depth, test_labels)
+        results["baseline_acc"] = round(base_acc, 4)
+        print(f"[trunc] baseline D=16 held-out acc {base_acc:.4f}",
+              flush=True)
+        for row in results["sweep"]:
+            acc = heldout_acc(row["model_dir"], test_depth, test_labels)
+            row["acc"] = round(acc, 4)
+            row["acc_delta"] = round(acc - base_acc, 4)
+            print(f"[trunc] D={row['depth']} acc={acc:.4f} "
+                  f"(delta {acc - base_acc:+.4f})", flush=True)
+
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"[trunc] wrote {out}", flush=True)

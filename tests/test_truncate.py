@@ -48,14 +48,15 @@ def test_refit_reproduces_trainer_pdfs(trained):
     checked_any = False
     for dt in (6, 5, 4, 3):
         _, vcounts = refit_counts(flat, dt, depth, labels, chunk=3)
-        w_mixed, w_cut, n_checked, n_mixed = pdf_check(flat, dt, vcounts)
-        if n_checked:
+        chk = pdf_check(flat, dt, vcounts)
+        if chk["checked"]:
             checked_any = True
             # cutoff one-hots: trainer rounded a >=99.9% histogram to 1.0
-            assert w_cut <= 1e-3 + 1e-6, (dt, w_cut)
-        if n_mixed:
+            assert chk["dev_cutoff"] <= 1e-3 + 1e-6, (dt, chk)
+            assert chk["bad_leaves"] == 0, (dt, chk)
+        if chk["mixed"]:
             mixed_any = True
-            assert w_mixed < 1e-6, (dt, w_mixed, n_mixed)
+            assert chk["dev_mixed"] < 1e-6, (dt, chk)
     assert checked_any
     assert mixed_any  # the final level must carry mixed frac leaves
 
