@@ -69,11 +69,20 @@ class DatasetConfig:
         self._cache: Dict[Tuple[str, int], np.ndarray] = {}
 
     @staticmethod
-    def multiple(dataset_dir: str, subsets):
-        """Randomly split a dataset directory into disjoint named subsets.
+    def multiple(dataset_dir: str, subsets, *, rng=None, ordered=False):
+        """Split a dataset directory into disjoint named subsets.
 
         ``subsets``: list of (num_images, images_per_block_or_None, name),
-        mirroring reference decision_tree.py:24-44.
+        mirroring reference decision_tree.py:24-44 (a random shuffle).
+
+        The default shuffle matches the reference but draws from the
+        GLOBAL numpy rng, so two processes get DIFFERENT splits — any
+        cross-process workflow (train in one run, evaluate/refit in
+        another) must pin the split: pass ``rng`` for a seeded shuffle,
+        or ``ordered=True`` to take images in file order (first block ->
+        first subset).  ``ordered`` is what the flagship pipeline uses:
+        its datagen writes the held-out disjoint-rng-stream poses LAST,
+        so the ordered "test" subset is exactly the unseen-pose set.
         """
         with open(os.path.join(dataset_dir, "config.json")) as f:
             total = json.load(f)["num_images"]
@@ -81,7 +90,11 @@ class DatasetConfig:
         assert want <= total, (want, total)
 
         order = list(range(total))
-        np.random.shuffle(order)
+        if not ordered:
+            if rng is not None:
+                rng.shuffle(order)
+            else:
+                np.random.shuffle(order)
 
         out, start = [], 0
         for num, per_block, name in subsets:

@@ -126,10 +126,14 @@ def main():
         print(f"[datagen] {ds_cfg['num_images']} full-res articulated "
               f"frames in {time.time() - t0:.1f}s", flush=True)
 
+    # ordered split: datagen wrote the disjoint-rng-stream (unseen-pose)
+    # frames LAST, so "test" is exactly that set — and the split is
+    # reproducible across processes (truncate_fine.py refits against the
+    # same 120 training images this run trained on)
     train_data, test_data = DatasetConfig.multiple(DS, [
         (n_train, IMAGES_PER_BLOCK, "train"),
         (n_test, None, "test"),
-    ])
+    ], ordered=True)
 
     # streaming stores: zlib depth/labels; the trainer adds
     # CompressedBlocksDynamic node state internally (streaming=True)

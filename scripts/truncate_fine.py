@@ -281,8 +281,11 @@ def main():
     from beats3d_tpu.data import DatasetConfig
 
     dts = [int(a) for a in args] or [15, 14, 13, 12]
+    # ordered=True: the SAME split every process — test is the datagen's
+    # final 16 frames (the disjoint-rng unseen-pose stream), train the
+    # 120 the flagship run trained on (see flagship_v2.py)
     train_data, test_data = DatasetConfig.multiple(DS, [
-        (120, 4, "train"), (16, None, "test")])
+        (120, 4, "train"), (16, None, "test")], ordered=True)
     test_depth = test_data.get_depth_block(0)
     test_labels = test_data.get_labels_block(0)
 
